@@ -1,0 +1,41 @@
+"""Test harness config.
+
+Forces JAX onto a virtual 8-device CPU mesh *before* jax is imported so that
+sharding tests exercise real multi-device paths without TPU hardware
+(mirrors how the reference tests exercise vmap-vs-loop equivalence,
+ref: tests/test_functional/test_jax_compat.py).
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_ROOT = "/root/reference"
+
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+# The upstream reference is used read-only as a parity oracle.
+if os.path.isdir(REFERENCE_ROOT) and REFERENCE_ROOT not in sys.path:
+    sys.path.append(REFERENCE_ROOT)
+
+import pytest  # noqa: E402
+
+
+def reference_available() -> bool:
+    try:
+        import tetris_gymnasium.functional.core  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+requires_reference = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not importable"
+)

@@ -1,0 +1,38 @@
+"""tetris_gymnasium_tpu — a TPU-native Tetris environment engine.
+
+A from-scratch re-design of Max-We/Tetris-Gymnasium for TPU: one batched,
+mesh-shardable pure-JAX core; Gymnasium compatibility, rendering and wrappers
+are thin views over it.
+
+Layers (bottom-up):
+  * ``pieces`` / ``config``  — static tables and hashable configs.
+  * ``ops``                  — branch-free board kernels, queue RNG ops.
+  * ``core.fn_env``          — compat engine, bit-exact with the reference
+                               functional env (``tetris_fn``).
+  * ``core.engine``          — flagship engine: 8 actions, holder/swap,
+                               preview queue, auto-reset, fused observations.
+  * ``parallel``             — device-mesh sharding of env batches.
+  * ``envs`` / ``wrappers``  — Gymnasium-compatible shell.
+  * ``models`` / ``rl``      — Flax networks + on-device RL training loops.
+"""
+
+from tetris_gymnasium_tpu.config import (
+    ActionsMapping,
+    EngineConfig,
+    EnvConfig,
+    RewardsMapping,
+)
+from tetris_gymnasium_tpu.pieces import PIECES, PieceSet, make_pieces
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ActionsMapping",
+    "EngineConfig",
+    "EnvConfig",
+    "RewardsMapping",
+    "PIECES",
+    "PieceSet",
+    "make_pieces",
+    "__version__",
+]
