@@ -24,7 +24,13 @@ if REPO_ROOT not in sys.path:
 if os.path.isdir(REFERENCE_ROOT) and REFERENCE_ROOT not in sys.path:
     sys.path.append(REFERENCE_ROOT)
 
+import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# XLA-CPU compiles are slow in this environment (~0.4 s per op, minutes for a
+# full step program); the persistent cache makes reruns near-instant.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def reference_available() -> bool:

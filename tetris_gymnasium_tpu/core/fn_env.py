@@ -94,7 +94,7 @@ def _lock_piece(
     reproduced for fixed-seed parity.
     """
     mat = piece_matrix(pieces, state.piece, rotation)
-    stamped = project(state.board, mat, x, y_final, pieces.ids[state.piece])
+    stamped = project(state.board, mat, x, y_final, jnp.asarray(pieces.ids)[state.piece])
     new_board, lines = clear_lines(stamped, config.height, config.width, config.padding)
     lock_reward = score_fn(lines)
 

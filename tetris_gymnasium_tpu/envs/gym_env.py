@@ -1,0 +1,173 @@
+"""Gymnasium-compatible shell over the flagship TPU engine.
+
+The reference's architecture is inverted here (SURVEY.md §7): its OOP env
+(ref: tetris_gymnasium/envs/tetris.py) *is* the engine, stepped cell-by-cell
+in numpy; ours is a thin host-side view over the jitted functional engine —
+one device program per step, state lives in an :class:`EngineState` pytree.
+
+API parity with the reference ``Tetris(gym.Env)``:
+  * Dict observation space with the same keys/shapes
+    (``board``, ``active_tetromino_mask``, ``holder``, ``queue``;
+    ref: envs/tetris.py:146-178),
+  * ``Discrete(8)`` action space with the same action ids
+    (ref: mappings/actions.py:12-19),
+  * ``(lines ** 2) * width`` line-clear scoring (ref: envs/tetris.py:621-630),
+  * ``ansi`` / ``rgb_array`` / ``human`` render modes with the same layout
+    (board left, queue top-right, holder bottom-right;
+    ref: envs/tetris.py:309-391, wrappers/observation.py:38-74),
+  * ``get_state`` / ``set_state`` cloning (ref: envs/tetris.py:681-708) — the
+    immutable state pytree makes both O(1) and alias-safe,
+  * ``info`` dict with ``lines_cleared`` (ref: envs/tetris.py:271).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import gymnasium as gym
+import numpy as np
+from gymnasium import spaces
+
+import jax
+
+from tetris_gymnasium_tpu.config import ActionsMapping, EngineConfig, RewardsMapping
+from tetris_gymnasium_tpu.core import engine
+from tetris_gymnasium_tpu.core.engine import EngineState
+from tetris_gymnasium_tpu.ops.observations import upscale_rgb
+from tetris_gymnasium_tpu.pieces import PIECES
+
+
+class Tetris(gym.Env):
+    """Single-env Gymnasium view of the flagship engine.
+
+    For RL at scale use the batched/sharded functional API directly
+    (:mod:`tetris_gymnasium_tpu.core.engine`,
+    :mod:`tetris_gymnasium_tpu.parallel`); this class exists for API
+    compatibility, debugging and interactive play.
+    """
+
+    metadata = {"render_modes": ["ansi", "rgb_array", "human"], "render_fps": 1}
+
+    def __init__(
+        self,
+        render_mode: Optional[str] = None,
+        width: int = 10,
+        height: int = 20,
+        gravity: bool = True,
+        queue_size: int = 4,
+        holder_size: int = 1,
+        actions_mapping: ActionsMapping = ActionsMapping(),
+        rewards_mapping: RewardsMapping = RewardsMapping(),
+        render_upscale: int = 10,
+    ):
+        self.config = EngineConfig(
+            width=width,
+            height=height,
+            queue_size=queue_size,
+            holder_size=holder_size,
+            gravity_enabled=gravity,
+        )
+        self.actions = actions_mapping
+        self.rewards = rewards_mapping
+        self.render_mode = render_mode
+        self.render_scaling_factor = render_upscale
+        self.pieces = PIECES
+
+        cfg = self.config
+        pad = cfg.padding
+        hw = (cfg.padded_height, cfg.padded_width)
+        self.observation_space = spaces.Dict(
+            {
+                "board": spaces.Box(0, 8, hw, dtype=np.uint8),
+                "active_tetromino_mask": spaces.Box(0, 1, hw, dtype=np.uint8),
+                "holder": spaces.Box(0, 8, (pad, pad * holder_size), dtype=np.uint8),
+                "queue": spaces.Box(0, 8, (pad, pad * queue_size), dtype=np.uint8),
+            }
+        )
+        self.action_space = spaces.Discrete(8)
+
+        self._step = engine.jit_step(cfg)
+        self._reset = engine.jit_reset(cfg)
+        self._rgb = engine.jit_render_rgb(cfg)
+        self.state: Optional[EngineState] = None
+        self._window_open = False
+
+    # -- Gymnasium API ------------------------------------------------------
+
+    def reset(
+        self, *, seed: Optional[int] = None, options: Optional[dict] = None
+    ) -> Tuple[dict, dict]:
+        """Start a new episode; the JAX PRNG stream is seeded from ``seed``."""
+        super().reset(seed=seed)
+        if seed is None:
+            seed = int(self.np_random.integers(0, 2**31 - 1))
+        key = jax.random.PRNGKey(seed)
+        self.state, obs = self._reset(key)
+        if self.render_mode == "human":
+            self.render()
+        return self._to_numpy(obs), {}
+
+    def step(self, action: int) -> Tuple[dict, float, bool, bool, dict]:
+        """One engine step; returns (obs, reward, terminated, truncated, info)."""
+        if self.state is None:
+            raise RuntimeError("Call reset() before step().")
+        self.state, obs, reward, done, info = self._step(self.state, np.int32(action))
+        if self.render_mode == "human":
+            self.render()
+        return (
+            self._to_numpy(obs),
+            float(reward),
+            bool(done),
+            False,
+            {"lines_cleared": int(info["lines_cleared"])},
+        )
+
+    def render(self):
+        """Render the current state (``ansi`` string / ``rgb_array`` / window)."""
+        if self.render_mode == "ansi":
+            return self._render_ansi()
+        rgb = np.asarray(self._rgb(self.state))
+        if self.render_mode == "rgb_array":
+            return rgb
+        if self.render_mode == "human":
+            import cv2
+
+            scale = self.render_scaling_factor
+            img = np.asarray(upscale_rgb(rgb, scale))
+            cv2.imshow("Tetris (TPU)", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            cv2.waitKey(1)
+            self._window_open = True
+            return None
+        return None
+
+    def close(self):
+        """Close any render window."""
+        if self._window_open:
+            import cv2
+
+            cv2.destroyAllWindows()
+            self._window_open = False
+
+    # -- State cloning (ref: envs/tetris.py:681-708) ------------------------
+
+    def get_state(self) -> EngineState:
+        """Snapshot of the full env state (immutable pytree — zero-copy)."""
+        return self.state
+
+    def set_state(self, state: EngineState) -> None:
+        """Restore a snapshot taken with :meth:`get_state`."""
+        self.state = state
+
+    # -- helpers ------------------------------------------------------------
+
+    @staticmethod
+    def _to_numpy(obs: dict) -> dict:
+        return {k: np.asarray(v) for k, v in obs.items()}
+
+    def _render_ansi(self) -> str:
+        """Character rendering of the projected board (ref: envs/tetris.py:323-343)."""
+        board = np.asarray(engine.jit_observe(self.config)(self.state)["board"])
+        chars = {0: ".", 1: "#"}
+        lines = [
+            "".join(chars.get(int(c), str(int(c))) for c in row) for row in board
+        ]
+        return "\n".join(lines) + "\n"

@@ -1,0 +1,122 @@
+"""Observation kernels: binary board, feature vector, RGB compositing.
+
+Pure functions over (board, state) designed to fuse into the step program —
+the reference computes these host-side in numpy wrappers
+(ref: tetris_gymnasium/wrappers/observation.py); here they are vmappable
+device code so an RL actor never leaves the chip.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from tetris_gymnasium_tpu.pieces import PieceSet
+
+
+def column_heights(playfield: jnp.ndarray) -> jnp.ndarray:
+    """Stack height per column of a cropped playfield ``[H, W]``.
+
+    Height = H - (row of the topmost non-empty cell); empty columns are 0.
+    Formula parity: wrappers/observation.py:177-193.
+    """
+    H = playfield.shape[0]
+    filled = playfield != 0
+    heights = H - jnp.argmax(filled, axis=0)
+    return jnp.where(jnp.any(filled, axis=0), heights, 0).astype(jnp.int32)
+
+
+def max_height(playfield: jnp.ndarray) -> jnp.ndarray:
+    """Tallest column (ref: wrappers/observation.py:195-205)."""
+    return jnp.max(column_heights(playfield))
+
+
+def bumpiness(playfield: jnp.ndarray) -> jnp.ndarray:
+    """Sum of |adjacent height differences| (ref: wrappers/observation.py:207-220)."""
+    h = column_heights(playfield)
+    return jnp.sum(jnp.abs(jnp.diff(h)))
+
+
+def holes(playfield: jnp.ndarray) -> jnp.ndarray:
+    """Empty cells with at least one filled cell above
+    (ref: wrappers/observation.py:222-236 — the column-cumsum trick)."""
+    filled = playfield != 0
+    covered = jnp.cumsum(filled, axis=0) > 0
+    return jnp.sum((~filled) & covered)
+
+
+class FeatureFlags(NamedTuple):
+    """Which features to report (ref: wrappers/observation.py:140-175)."""
+
+    height: bool = True
+    max_height: bool = True
+    holes: bool = True
+    bumpiness: bool = True
+
+
+def feature_vector(playfield: jnp.ndarray, flags: FeatureFlags = FeatureFlags()) -> jnp.ndarray:
+    """Concatenated feature vector; default shape ``[W + 3]``.
+
+    Note: unlike the reference wrapper, the caller is expected to pass a
+    playfield *without* the active piece; the reference's uint8-fancy-index
+    masking (wrappers/observation.py:252 — which actually zeroes board rows
+    0/1 rather than the piece) is intentionally not reproduced.
+    """
+    parts = []
+    if flags.height or flags.max_height:
+        h = column_heights(playfield)
+        if flags.height:
+            parts.append(h)
+        if flags.max_height:
+            parts.append(jnp.max(h)[None])
+    if flags.holes:
+        parts.append(holes(playfield)[None])
+    if flags.bumpiness:
+        parts.append(bumpiness(playfield)[None])
+    return jnp.concatenate(parts).astype(jnp.int32)
+
+
+def sidebar_width(padding: int, queue_size: int, holder_size: int) -> int:
+    """Width of the queue/holder sidebar in the composite image."""
+    return max(queue_size, holder_size) * padding
+
+
+def compose_rgb(
+    board: jnp.ndarray,
+    queue_strip: jnp.ndarray,
+    holder_strip: jnp.ndarray,
+    pieces: PieceSet,
+) -> jnp.ndarray:
+    """One RGB image: board left, queue top-right, holder bottom-right.
+
+    Layout parity: wrappers/observation.py:38-74 — strips are padded to a
+    common width with bedrock (id 1), separated vertically by bedrock, then
+    the id image is colorised through the palette gather.
+
+    Args:
+        board: ``[H_pad, W_pad]`` cell-id image (active piece projected).
+        queue_strip: ``[padding, padding*queue_size]`` id image.
+        holder_strip: ``[padding, padding*holder_size]`` id image.
+
+    Returns:
+        ``[H_pad, W_pad + sidebar, 3]`` uint8.
+    """
+    pad_h = queue_strip.shape[0]
+    side_w = max(queue_strip.shape[1], holder_strip.shape[1])
+
+    def widen(strip):
+        extra = side_w - strip.shape[1]
+        if extra:
+            strip = jnp.pad(strip, ((0, 0), (0, extra)), constant_values=1)
+        return strip
+
+    v_sep = jnp.ones((board.shape[0] - 2 * pad_h, side_w), dtype=board.dtype)
+    sidebar = jnp.concatenate([widen(queue_strip), v_sep, widen(holder_strip)], axis=0)
+    stack = jnp.concatenate([board, sidebar], axis=1).astype(jnp.int32)
+    return jnp.asarray(pieces.palette)[stack]
+
+
+def upscale_rgb(rgb: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Nearest-neighbour upscale (the reference's ``np.kron``,
+    ref: envs/tetris.py:367-371) via repeat — cheap and fusable."""
+    return jnp.repeat(jnp.repeat(rgb, factor, axis=0), factor, axis=1)

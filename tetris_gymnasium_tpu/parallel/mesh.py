@@ -1,0 +1,146 @@
+"""Device-mesh sharding of environment batches.
+
+The reference's only parallelism is single-host ``vmap``/``SyncVectorEnv``
+(ref: tetris_gymnasium/envs/tetris_fn.py:416-467; examples/train_cnn.py:251-256).
+This module is the TPU-native scale-out layer it lacks: a 1-D ``"env"`` mesh
+over all local (or all global) devices, env-state pytrees sharded along the
+batch axis with ``NamedSharding(P("env"))``, and jitted step/rollout programs
+whose sharding is carried in-types so XLA partitions them without any
+collectives (env stepping is embarrassingly parallel; collectives appear only
+in the learner, see ``tetris_gymnasium_tpu.rl``).
+
+Determinism across mesh shapes: per-env PRNG streams are derived by
+``fold_in(base_key, global_env_index)``, so trajectories depend only on the
+global env index, never on device placement.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tetris_gymnasium_tpu.config import EngineConfig, EnvConfig
+from tetris_gymnasium_tpu.core import engine, fn_env
+
+
+def env_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = "env") -> Mesh:
+    """A 1-D mesh of all (or the given) devices with one ``env`` axis."""
+    import numpy as np
+
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def env_sharding(mesh: Mesh, axis: str = "env") -> NamedSharding:
+    """Sharding that splits the leading (env-batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding on the mesh (for params/configs)."""
+    return NamedSharding(mesh, P())
+
+
+def batch_keys(base_key: jnp.ndarray, n_envs: int) -> jnp.ndarray:
+    """Per-env keys ``[n_envs, 2]``, folded from one base key by global index.
+
+    Placement-independent: env ``i`` gets ``fold_in(base, i)`` no matter how
+    the batch is laid out over devices, so a run is reproducible on any mesh
+    shape (SURVEY.md §7 "multi-host determinism").
+    """
+    return jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+        jnp.arange(n_envs, dtype=jnp.uint32)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_engine_fns(config: EngineConfig, mesh: Mesh, obs: str):
+    obs_fn = {"dict": engine.observe_dict, "board": engine.observe_board}[obs]
+    shard = env_sharding(mesh)
+
+    reset_fn = jax.jit(
+        jax.vmap(functools.partial(engine.reset, config=config, obs_fn=obs_fn)),
+        in_shardings=(shard,),
+    )
+    step_fn = jax.jit(
+        jax.vmap(functools.partial(engine.step, config=config, obs_fn=obs_fn)),
+        donate_argnums=(0,),
+    )
+    return reset_fn, step_fn
+
+
+def sharded_reset(
+    base_key: jnp.ndarray,
+    n_envs: int,
+    config: EngineConfig,
+    mesh: Mesh,
+    obs: str = "board",
+):
+    """Reset ``n_envs`` flagship envs sharded over the mesh's env axis."""
+    keys = jax.device_put(batch_keys(base_key, n_envs), env_sharding(mesh))
+    return _sharded_engine_fns(config, mesh, obs)[0](keys)
+
+
+def sharded_step(states, actions, config: EngineConfig, mesh: Mesh, obs: str = "board"):
+    """One sharded batched step; state buffers are donated."""
+    return _sharded_engine_fns(config, mesh, obs)[1](states, actions)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_rollout_fn(config: EngineConfig, mesh: Mesh, horizon: int, engine_kind: str):
+    """One XLA program: scan `horizon` random-policy steps over sharded envs.
+
+    The action stream is on-device (per-step fold of a rollout key), so the
+    host is touched exactly twice: keys in, trajectory stats out.
+    """
+    shard = env_sharding(mesh)
+    if engine_kind == "engine":
+        step_fn = functools.partial(engine.step, config=config, obs_fn=lambda s, c, p: ())
+        n_actions = 8
+    else:
+        step_fn = functools.partial(fn_env.step, config=config)
+        n_actions = 7
+
+    def rollout(states, rollout_key):
+        def one(carry, t):
+            s, k = carry
+            k, sub = jax.random.split(k)
+            n = s.board.shape[0]
+            acts = jax.random.randint(sub, (n,), 0, n_actions)
+            out = jax.vmap(step_fn)(s, acts)
+            s2, r, d = out[0], out[2], out[3]
+            return (s2, k), (jnp.sum(r), jnp.sum(d))
+
+        (final, _), (rews, dones) = jax.lax.scan(
+            one, (states, rollout_key), jnp.arange(horizon)
+        )
+        return final, jnp.sum(rews), jnp.sum(dones)
+
+    return jax.jit(rollout, in_shardings=(shard, replicated(mesh)), donate_argnums=(0,))
+
+
+def sharded_random_rollout(
+    states,
+    rollout_key: jnp.ndarray,
+    config,
+    mesh: Mesh,
+    horizon: int,
+    engine_kind: str = "engine",
+):
+    """Run ``horizon`` random steps on-device; returns (states, Σreward, Σdone)."""
+    return _sharded_rollout_fn(config, mesh, horizon, engine_kind)(states, rollout_key)
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` passthrough.
+
+    On a single-host run this is a no-op (initialize raises if re-run or
+    unconfigured); call once at program start on each host of a pod slice.
+    """
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass

@@ -81,7 +81,13 @@ _MATRICES_NP, _BOX_NP = _build_tables()
 
 
 class PieceSet(NamedTuple):
-    """Device-resident piece tables.
+    """Piece tables, held as *numpy* arrays.
+
+    Numpy (not ``jnp``) on purpose: these are closure constants of every
+    jitted step program, and XLA embeds host numpy arrays as literals for
+    free, whereas a committed device array triggers a device->host read at
+    lowering time (hundreds of seconds over a TPU tunnel).  Inside a trace
+    they behave identically under ``jnp`` indexing/arithmetic.
 
     Attributes:
         ids: ``[7]`` int8 cell ids (2..8).
@@ -94,26 +100,35 @@ class PieceSet(NamedTuple):
         base_colors: ``[2, 3]`` uint8 colors for empty/bedrock cells.
     """
 
-    ids: jnp.ndarray
-    colors: jnp.ndarray
-    matrices: jnp.ndarray
-    box: jnp.ndarray
-    base_colors: jnp.ndarray
+    ids: np.ndarray
+    colors: np.ndarray
+    matrices: np.ndarray
+    box: np.ndarray
+    base_colors: np.ndarray
 
     @property
-    def palette(self) -> jnp.ndarray:
+    def palette(self) -> np.ndarray:
         """``[9, 3]`` uint8 palette indexed directly by cell id."""
-        return jnp.concatenate([self.base_colors, self.colors], axis=0)
+        return np.concatenate([self.base_colors, self.colors], axis=0)
+
+    def jx(self) -> "PieceSet":
+        """The same tables as ``jnp`` values, for traced (tracer-index) use.
+
+        Call at the top of a function that indexes tables with traced values
+        (numpy rejects tracer indices).  Under ``jit`` this is free: the
+        arrays become embedded XLA literals.
+        """
+        return PieceSet(*(jnp.asarray(t) for t in self))
 
 
 def make_pieces() -> PieceSet:
     """Build the default 7-piece set (identical values to the reference)."""
     return PieceSet(
-        ids=jnp.arange(FIRST_PIECE_ID, FIRST_PIECE_ID + NUM_PIECES, dtype=jnp.int8),
-        colors=jnp.array([_COLORS[n] for n in PIECE_ORDER], dtype=jnp.uint8),
-        matrices=jnp.asarray(_MATRICES_NP),
-        box=jnp.asarray(_BOX_NP),
-        base_colors=jnp.array([[0, 0, 0], [128, 128, 128]], dtype=jnp.uint8),
+        ids=np.arange(FIRST_PIECE_ID, FIRST_PIECE_ID + NUM_PIECES, dtype=np.int8),
+        colors=np.array([_COLORS[n] for n in PIECE_ORDER], dtype=np.uint8),
+        matrices=_MATRICES_NP,
+        box=_BOX_NP,
+        base_colors=np.array([[0, 0, 0], [128, 128, 128]], dtype=np.uint8),
     )
 
 
@@ -127,4 +142,4 @@ def piece_matrix(pieces: PieceSet, piece: jnp.ndarray, rotation: jnp.ndarray) ->
     (ref: functional/tetrominoes.py:151-165) — a pure gather, safe under
     vmap/jit, no bounds checks needed because rotation is always in 0..3.
     """
-    return pieces.matrices[piece, rotation]
+    return jnp.asarray(pieces.matrices)[piece, rotation]
