@@ -24,7 +24,7 @@ from flax import struct
 
 from tetris_gymnasium_tpu.config import EnvConfig
 from tetris_gymnasium_tpu.ops.board import (
-    clear_lines,
+    clear_lines_compat,
     collision,
     create_board,
     drop_distance,
@@ -95,7 +95,7 @@ def _lock_piece(
     """
     mat = piece_matrix(pieces, state.piece, rotation)
     stamped = project(state.board, mat, x, y_final, jnp.asarray(pieces.ids)[state.piece])
-    new_board, lines = clear_lines(stamped, config.height, config.width, config.padding)
+    new_board, lines = clear_lines_compat(stamped, config.height, config.width, config.padding)
     lock_reward = score_fn(lines)
 
     new_piece, new_queue, new_qi, _ = queue_fns.next_piece(

@@ -37,20 +37,44 @@ def create_board(height: int, width: int, padding: int) -> jnp.ndarray:
     )
 
 
-def _clamp_start(v: jnp.ndarray, limit: int) -> jnp.ndarray:
-    """Clamp a slice start like ``lax.dynamic_slice`` does (0 <= v <= limit)."""
+def _clamp_start(v: jnp.ndarray, limit: int, dim: int) -> jnp.ndarray:
+    """Normalise a slice start exactly like ``lax.dynamic_slice`` does:
+    negative starts wrap Python-style (+dim), then clamp to [0, limit]."""
+    v = jnp.where(v < 0, v + dim, v)
     return jnp.clip(v, 0, limit)
+
+
+def _one_hot_window(start: jnp.ndarray, size: int, dim: int) -> jnp.ndarray:
+    """``[dim, size]`` one-hot: out[r, i] = (r == clamp(start) + i).
+
+    The branch-free equivalent of addressing a ``size``-window at a dynamic
+    offset — contracted against a piece matrix it replaces dynamic
+    slice/update-slice (gathers/scatters, which serialise badly on TPU) with
+    broadcast compares + tiny matmuls.
+    """
+    s = _clamp_start(start, dim - size, dim)
+    return (
+        jnp.arange(dim, dtype=jnp.int32)[:, None]
+        == s + jnp.arange(size, dtype=jnp.int32)[None, :]
+    )
 
 
 def collision(board: jnp.ndarray, piece: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """True iff any filled piece cell overlaps a non-empty board cell.
 
-    Ref parity: functional/core.py:86-100 — a 4x4 ``dynamic_slice`` at (y, x)
-    (with start clamping) followed by an overlap-any.
+    Ref parity: functional/core.py:86-100 — equivalent to a 4x4
+    ``dynamic_slice`` at (y, x) (with start clamping) followed by an
+    overlap-any, computed gather-free: one-hot window masks contracted
+    against the occupancy image.
     """
-    h, w = piece.shape
-    section = jax.lax.dynamic_slice(board, (y, x), (h, w))
-    return jnp.any((section > 0) & (piece > 0))
+    H, W = board.shape
+    ph, pw = piece.shape
+    row_oh = _one_hot_window(y, ph, H).astype(jnp.int32)  # [H, ph]
+    col_oh = _one_hot_window(x, pw, W).astype(jnp.int32)  # [W, pw]
+    occ = (board > 0).astype(jnp.int32)
+    # window[i, j] = occ[y+i, x+j]
+    window = jnp.einsum("hi,hw,wj->ij", row_oh, occ, col_oh)
+    return jnp.any((window > 0) & (piece > 0))
 
 
 def project(
@@ -64,12 +88,29 @@ def project(
 
     Ref parity: functional/core.py:103-121 (``dynamic_update_slice`` of an
     all-zeros board, added to the input — an overlapping projection would
-    *add*, exactly as the reference does).
+    *add*, exactly as the reference does), including DUS start clamping.
+
+    TPU note: written as one-hot row/col masks contracted against the piece
+    instead of a ``dynamic_update_slice`` — a vmapped DUS with per-env offsets
+    lowers to a scatter, which is ~16x slower on TPU than this branch-free
+    broadcast (measured: 0.22M vs 3.5M env-iters/s at B=4096).
     """
-    stamp = (piece * cell_id).astype(board.dtype)
-    zeros = jnp.zeros_like(board)
-    update = jax.lax.dynamic_update_slice(zeros, stamp, (y, x))
-    return board + update
+    H, W = board.shape
+    ph, pw = piece.shape
+    yc = _clamp_start(y, H - ph, H)
+    xc = _clamp_start(x, W - pw, W)
+    row_oh = jnp.arange(H, dtype=jnp.int32)[:, None] == yc + jnp.arange(
+        ph, dtype=jnp.int32
+    )[None, :]  # [H, ph]
+    col_oh = jnp.arange(W, dtype=jnp.int32)[None, :] == xc + jnp.arange(
+        pw, dtype=jnp.int32
+    )[:, None]  # [pw, W]
+    stamp = (piece * cell_id).astype(jnp.int32)  # [ph, pw]
+    inner = jnp.einsum(
+        "ij,jw->iw", stamp, col_oh.astype(jnp.int32)
+    )  # [ph, W]
+    add = jnp.einsum("hi,iw->hw", row_oh.astype(jnp.int32), inner)  # [H, W]
+    return board + add.astype(board.dtype)
 
 
 def drop_distance(
@@ -86,17 +127,26 @@ def drop_distance(
     ``y + drop_distance(...)`` equals the reference's post-loop ``y`` for every
     board (including degenerate boards without a bedrock floor, where the
     reference loop would never terminate — here the drop is capped at H).
+
+    Gather-free: the collision predicate at every candidate offset is one
+    one-hot contraction (no strided window gathers, which serialise on TPU).
     """
     H, W = board.shape
     ph, pw = piece.shape
-    xs = _clamp_start(x, W - pw)
-    strip = jax.lax.dynamic_slice(board, (jnp.int32(0), xs), (H, pw))  # [H, pw]
+    col_oh = _one_hot_window(x, pw, W).astype(jnp.int32)  # [W, pw]
+    occ = (board > 0).astype(jnp.int32)
+    # overlap-per-row against the piece's columns at this x:
+    # row_hit[r, i] = any_j occ[r, x+j] & piece[i, j]
+    row_hit = jnp.einsum("hw,wj,ij->hi", occ, col_oh, (piece > 0).astype(jnp.int32))
 
     d = jnp.arange(H, dtype=jnp.int32)  # candidate offsets for y+1+d
     ys = jnp.clip(y + 1 + d, 0, H - ph)  # [H] clamped window starts
-    rows = ys[:, None] + jnp.arange(ph, dtype=jnp.int32)[None, :]  # [H, ph]
-    windows = strip[rows]  # [H, ph, pw] gather of row-windows
-    hit = jnp.any((windows > 0) & (piece > 0)[None], axis=(1, 2))  # [H]
+    # row one-hot per offset: oh[d, r, i] = (r == ys[d] + i)
+    oh = (
+        jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        == ys[:, None, None] + jnp.arange(ph, dtype=jnp.int32)[None, None, :]
+    )
+    hit = jnp.einsum("dri,ri->d", oh.astype(jnp.int32), row_hit) > 0  # [H]
     # Number of consecutive leading non-collisions == while-loop iterations.
     free_prefix = jnp.cumprod(1 - hit.astype(jnp.int32))
     return jnp.sum(free_prefix)
@@ -130,9 +180,57 @@ def clear_lines(
     filled = jnp.all(inner > 0, axis=1)  # [height]
     n = jnp.sum(filled.astype(jnp.int32))
 
-    order = jnp.where(filled, -height, jnp.arange(height))
-    order = jnp.sort(order)
-    compacted = jnp.take(inner, order, axis=0, fill_value=0)
+    # Row-permutation as a one-hot matrix instead of sort+take (vmapped sorts
+    # and row gathers serialise on TPU): unfilled row s lands at destination
+    # rank(s) + n (rank = index among unfilled rows); cleared rows fall out as
+    # all-zero destination rows for free.
+    keep = (~filled).astype(jnp.int32)
+    dest = jnp.cumsum(keep) - 1 + n  # [height] destination row of each source
+    perm = (
+        jnp.arange(height, dtype=jnp.int32)[:, None] == dest[None, :]
+    ).astype(jnp.int32) * keep[None, :]  # [dest, src]
+    compacted = jnp.einsum("ds,sw->dw", perm, inner.astype(jnp.int32)).astype(
+        board.dtype
+    )
+    new_board = jnp.pad(
+        compacted,
+        ((0, padding), (padding, padding)),
+        constant_values=jnp.int8(BEDROCK_ID),
+    )
+    return new_board, n
+
+
+def clear_lines_compat(
+    board: jnp.ndarray, height: int, width: int, padding: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Line clear with the *reference functional engine's* exact semantics.
+
+    The reference compacts with ``jnp.take(sub_board, sorted_indices, axis=0,
+    fill_value=0)`` where cleared rows get index ``-height``
+    (ref: functional/core.py:202-215).  ``jnp.take``'s fill mode wraps
+    negative indices before bounds-checking, so ``-height`` resolves to row
+    0 of the *pre-clear* board: the new top rows are copies of the old top
+    row, not zeros.  In practice the top row is almost always empty, but
+    when the stack reaches row 0 and a line clears in the same lock the
+    reference duplicates that row — a quirk this variant reproduces for
+    bit-exact parity.  The flagship engine uses :func:`clear_lines` (true
+    zeros, the OOP reference's behaviour, ref: envs/tetris.py:481-512).
+    """
+    inner = board[:-padding, padding:-padding]
+    filled = jnp.all(inner > 0, axis=1)
+    n = jnp.sum(filled.astype(jnp.int32))
+
+    keep = (~filled).astype(jnp.int32)
+    dest = jnp.cumsum(keep) - 1 + n
+    perm = (
+        jnp.arange(height, dtype=jnp.int32)[:, None] == dest[None, :]
+    ).astype(jnp.int32) * keep[None, :]
+    compacted = jnp.einsum("ds,sw->dw", perm, inner.astype(jnp.int32)).astype(
+        board.dtype
+    )
+    # reference quirk: "cleared" destination rows wrap to pre-clear row 0
+    top = jnp.arange(height, dtype=jnp.int32)[:, None] < n
+    compacted = jnp.where(top, inner[0][None, :], compacted)
     new_board = jnp.pad(
         compacted,
         ((0, padding), (padding, padding)),

@@ -136,10 +136,15 @@ PIECES = make_pieces()
 
 
 def piece_matrix(pieces: PieceSet, piece: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
-    """Gather the ``[4, 4]`` binary matrix of ``piece`` at ``rotation``.
+    """Fetch the ``[4, 4]`` binary matrix of ``piece`` at ``rotation``.
 
     Equivalent of the reference's ``get_tetromino_matrix``
-    (ref: functional/tetrominoes.py:151-165) — a pure gather, safe under
-    vmap/jit, no bounds checks needed because rotation is always in 0..3.
+    (ref: functional/tetrominoes.py:151-165).  Computed as a one-hot
+    contraction against the constant table rather than a 2-level gather:
+    vmapped gathers with per-env indices serialise on TPU, while the
+    contraction is a tiny matmul over an embedded 448-byte literal.
     """
-    return jnp.asarray(pieces.matrices)[piece, rotation]
+    mats = jnp.asarray(pieces.matrices).astype(jnp.int32)  # [7, 4, 4, 4]
+    p_oh = (jnp.arange(NUM_PIECES, dtype=jnp.int32) == piece).astype(jnp.int32)
+    r_oh = (jnp.arange(4, dtype=jnp.int32) == rotation).astype(jnp.int32)
+    return jnp.einsum("p,r,prij->ij", p_oh, r_oh, mats).astype(jnp.int8)
