@@ -63,6 +63,9 @@ class EngineConfig(NamedTuple):
         auto_reset: when True, a terminated env is re-initialised on the next
             step on-device (no reference counterpart; required so RL rollouts
             never leave the device).
+        queue_kind: piece randomizer — "bag" (7-bag, ref BagRandomizer,
+            components/tetromino_randomizer.py:49-104) or "uniform"
+            (ref TrueRandomizer, :105-136).  Static: selected at trace time.
     """
 
     width: int = 10
@@ -72,6 +75,7 @@ class EngineConfig(NamedTuple):
     holder_size: int = 1
     gravity_enabled: bool = True
     auto_reset: bool = False
+    queue_kind: str = "bag"
 
     @property
     def padded_width(self) -> int:

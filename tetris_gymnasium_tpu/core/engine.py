@@ -86,15 +86,33 @@ def _bag_draw(bag, bag_index, key):
     return piece, bag, idx + 1, key
 
 
-def _queue_draw(queue, bag, bag_index, key):
-    """Pop the preview queue head and backfill from the bag.
+def _uniform_draw(bag, bag_index, key):
+    """Uniform draw over all pieces; bag state passes through untouched.
+
+    Semantics of the OOP TrueRandomizer
+    (ref: components/tetromino_randomizer.py:105-136) — a correct uniform over
+    0..6, unlike the reference functional queue's off-by-one
+    (ref: functional/queue.py:87, kept only in the compat engine).
+    """
+    new_key, sub = jax.random.split(key)
+    piece = jax.random.randint(sub, (), 0, NUM_PIECES)
+    return piece, bag, bag_index, new_key
+
+
+def _draw(config: EngineConfig):
+    """Select the randomizer at trace time (queue_kind is static config)."""
+    return {"bag": _bag_draw, "uniform": _uniform_draw}[config.queue_kind]
+
+
+def _queue_draw(queue, bag, bag_index, key, config: EngineConfig):
+    """Pop the preview queue head and backfill from the randomizer.
 
     Semantics of TetrominoQueue.get_next_tetromino
     (ref: components/tetromino_queue.py:35-42): FIFO pop + immediate refill so
     the preview is always full.
     """
     piece = queue[0]
-    refill, bag, bag_index, key = _bag_draw(bag, bag_index, key)
+    refill, bag, bag_index, key = _draw(config)(bag, bag_index, key)
     queue = jnp.roll(queue, -1).at[-1].set(refill)
     return piece, queue, bag, bag_index, key
 
@@ -113,9 +131,10 @@ def init_state(key: jnp.ndarray, config: EngineConfig, pieces: PieceSet = PIECES
 
     queue = jnp.zeros((config.queue_size,), dtype=jnp.int32)
     # active + preview draws (static unroll; queue_size is config)
-    active, bag, bag_index, carry_key = _bag_draw(bag, bag_index, carry_key)
+    draw = _draw(config)
+    active, bag, bag_index, carry_key = draw(bag, bag_index, carry_key)
     for i in range(config.queue_size):
-        p, bag, bag_index, carry_key = _bag_draw(bag, bag_index, carry_key)
+        p, bag, bag_index, carry_key = draw(bag, bag_index, carry_key)
         queue = queue.at[i].set(p)
 
     board = create_board(config.height, config.width, config.padding)
@@ -238,7 +257,7 @@ def _commit(state: EngineState, config: EngineConfig, pieces: PieceSet, rewards:
     cleared, lines = clear_lines(stamped, config.height, config.width, config.padding)
 
     new_piece, queue, bag, bag_index, key = _queue_draw(
-        state.queue, state.bag, state.bag_index, state.key
+        state.queue, state.bag, state.bag_index, state.key, config
     )
     sx = spawn_x_classic(config.padded_width, pieces.box[new_piece])
     spawn_over = collision(cleared, pieces.matrices[new_piece, 0], sx, jnp.int32(0))
@@ -285,7 +304,7 @@ def _swap(state: EngineState, config: EngineConfig, pieces: PieceSet):
     hp_store = state.holder_piece.at[idx].set(state.piece)
     hr_store = state.holder_rotation.at[idx].set(state.rotation)
     q_piece, queue2, bag2, bidx2, key2 = _queue_draw(
-        state.queue, state.bag, state.bag_index, state.key
+        state.queue, state.bag, state.bag_index, state.key, config
     )
 
     # swap path: pop oldest, append current at the back
@@ -444,10 +463,12 @@ def jit_observe(config: EngineConfig, obs: str = "dict"):
 
 
 @functools.lru_cache(maxsize=None)
-def jit_step(config: EngineConfig, obs: str = "dict"):
+def jit_step(config: EngineConfig, obs: str = "dict", rewards: RewardsMapping = REWARDS):
     """Cached single-env jitted step for the default piece set."""
     obs_fn = {"dict": observe_dict, "board": observe_board}[obs]
-    return jax.jit(functools.partial(step, config=config, obs_fn=obs_fn))
+    return jax.jit(
+        functools.partial(step, config=config, obs_fn=obs_fn, rewards=rewards)
+    )
 
 
 @functools.lru_cache(maxsize=None)

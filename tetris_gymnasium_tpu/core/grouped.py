@@ -185,6 +185,14 @@ def step(
     reward = jnp.where(illegal, jnp.float32(rewards.invalid_action), drop_reward)
     lines = jnp.where(illegal, ill_lines, drop_info["lines_cleared"])
 
+    # Under auto_reset the inner engine already restarts drop-terminated games;
+    # the illegal-action termination path (which bypasses the engine step) must
+    # restart here too so a training loop never steps a dead env.
+    if config.auto_reset and terminate_on_illegal:
+        reset_key, carry = jax.random.split(new_env.key)
+        fresh = engine.init_state(reset_key, config, pieces).replace(key=carry)
+        new_env = select_tree(illegal, fresh, new_env)
+
     obs, mask = grouped_observation(new_env, config, pieces, mode)
     if terminate_on_illegal:
         high = jnp.float32(config.height * config.width)

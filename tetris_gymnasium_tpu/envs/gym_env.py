@@ -58,13 +58,19 @@ class Tetris(gym.Env):
         actions_mapping: ActionsMapping = ActionsMapping(),
         rewards_mapping: RewardsMapping = RewardsMapping(),
         render_upscale: int = 10,
+        randomizer: str = "bag",
     ):
+        """``randomizer`` selects the piece sampler: "bag" (7-bag, the
+        reference's BagRandomizer default) or "uniform" (TrueRandomizer),
+        mirroring the reference's pluggable randomizer classes
+        (ref: components/tetromino_randomizer.py:49-136)."""
         self.config = EngineConfig(
             width=width,
             height=height,
             queue_size=queue_size,
             holder_size=holder_size,
             gravity_enabled=gravity,
+            queue_kind=randomizer,
         )
         self.actions = actions_mapping
         self.rewards = rewards_mapping
@@ -85,7 +91,19 @@ class Tetris(gym.Env):
         )
         self.action_space = spaces.Discrete(8)
 
-        self._step = engine.jit_step(cfg)
+        # Custom action numberings (ref: tetris.py:98 `actions_mapping` kwarg)
+        # are a host-side translation: user id -> the engine's canonical id.
+        defaults = ActionsMapping()
+        self._action_table = np.zeros(8, dtype=np.int32)
+        for name in (
+            "move_left", "move_right", "move_down", "rotate_clockwise",
+            "rotate_counterclockwise", "hard_drop", "swap", "no_op",
+        ):
+            self._action_table[getattr(actions_mapping, name) % 8] = getattr(
+                defaults, name
+            )
+
+        self._step = engine.jit_step(cfg, rewards=rewards_mapping)
         self._reset = engine.jit_reset(cfg)
         self._rgb = engine.jit_render_rgb(cfg)
         self.state: Optional[EngineState] = None
@@ -110,7 +128,10 @@ class Tetris(gym.Env):
         """One engine step; returns (obs, reward, terminated, truncated, info)."""
         if self.state is None:
             raise RuntimeError("Call reset() before step().")
-        self.state, obs, reward, done, info = self._step(self.state, np.int32(action))
+        engine_action = self._action_table[int(action) % 8] if 0 <= int(action) < 8 else np.int32(action)
+        self.state, obs, reward, done, info = self._step(
+            self.state, np.int32(engine_action)
+        )
         if self.render_mode == "human":
             self.render()
         return (

@@ -1,0 +1,102 @@
+"""Flax network families for the RL examples.
+
+TPU-native re-design of the reference's PyTorch models
+(ref: examples/train_cnn.py:151-168 QNetwork, examples/train_ppo.py:91-124
+Agent, examples/train_lin_grouped.py:157-175 linear Q-net).  Differences are
+deliberate, not accidental:
+
+  * the reference rescales the env image to 84x84 grayscale frames to reuse
+    Atari nets (ref: train_cnn.py:127-147); here the CNN consumes the engine's
+    native ``[H, W]`` board observation directly — no host-side cv2 resizing,
+    no wasted pixels, one less HBM round-trip;
+  * compute runs in bfloat16 (MXU-native) with float32 parameters and
+    float32 heads, the standard TPU mixed-precision recipe;
+  * channel sizes are multiples of 8/128 where it matters so XLA tiles the
+    matmuls onto the MXU without padding waste.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BoardEncoder(nn.Module):
+    """Conv trunk over a ``[B, H, W]`` board observation (values -1/0/1).
+
+    Channel plan (32 -> 64 -> 128) mirrors the reference Atari trunk's
+    capacity (ref: train_cnn.py:153-160) at the native 20x10 resolution.
+    """
+
+    features: Sequence[int] = (32, 64, 128)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, boards: jnp.ndarray) -> jnp.ndarray:
+        x = boards.astype(self.dtype)[..., None]  # [B, H, W, 1]
+        for i, feat in enumerate(self.features):
+            stride = (2, 1) if i == 0 else (2, 2)
+            x = nn.Conv(feat, kernel_size=(3, 3), strides=stride, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(512, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class QNetworkCNN(nn.Module):
+    """DQN value network: board -> Q(s, a) for the 8 engine actions.
+
+    Role parity: examples/train_cnn.py:151-168.
+    """
+
+    n_actions: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, boards: jnp.ndarray) -> jnp.ndarray:
+        h = BoardEncoder(dtype=self.dtype)(boards)
+        return nn.Dense(self.n_actions, dtype=jnp.float32)(h)
+
+
+class ActorCriticCNN(nn.Module):
+    """PPO actor-critic with a shared conv trunk.
+
+    Role parity: examples/train_ppo.py:91-124 (shared trunk, orthogonal-init
+    heads with small policy gain).
+    """
+
+    n_actions: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, boards: jnp.ndarray):
+        h = BoardEncoder(dtype=self.dtype)(boards)
+        logits = nn.Dense(
+            self.n_actions,
+            dtype=jnp.float32,
+            kernel_init=nn.initializers.orthogonal(0.01),
+        )(h)
+        value = nn.Dense(
+            1, dtype=jnp.float32, kernel_init=nn.initializers.orthogonal(1.0)
+        )(h)
+        return logits, value.squeeze(-1)
+
+
+class QMLP(nn.Module):
+    """Feature-vector Q-net for the grouped placement env.
+
+    Scores one placement's feature vector -> scalar value; applied vmapped
+    over all ``width*4`` candidates.  Role parity:
+    examples/train_lin_grouped.py:157-175.
+    """
+
+    hidden: Sequence[int] = (64, 64)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray) -> jnp.ndarray:
+        x = features.astype(self.dtype)
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h, dtype=self.dtype)(x))
+        return nn.Dense(1, dtype=jnp.float32)(x).squeeze(-1)

@@ -1,0 +1,67 @@
+"""On-device replay buffer: a struct-of-arrays pytree in HBM.
+
+The reference uses stable-baselines3's host-RAM ReplayBuffer with per-step
+numpy copies (ref: examples/train_cnn.py:266-272, 317).  Here the buffer is a
+device-resident pytree updated inside the jitted train step — writes are
+``dynamic_update_slice`` (the whole env batch lands as one contiguous block),
+reads are random gathers, and no transition ever crosses the host boundary.
+
+Capacity must be a multiple of the env batch so every add is one contiguous
+slice (a static requirement checked at construction).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class ReplayBuffer:
+    """Circular struct-of-arrays buffer; ``data`` is any transition pytree."""
+
+    data: Any  # pytree of [capacity, ...] arrays
+    pos: jnp.ndarray  # int32 next write offset (multiple of batch)
+    size: jnp.ndarray  # int32 number of valid entries
+
+
+def create(example: Any, capacity: int, batch: int) -> ReplayBuffer:
+    """Allocate a buffer shaped after one *batched* transition pytree.
+
+    Args:
+        example: pytree of ``[batch, ...]`` arrays (one env-batch step).
+        capacity: total entries; must be a multiple of ``batch``.
+        batch: env batch size (entries added per step).
+    """
+    if capacity % batch != 0:
+        raise ValueError(f"capacity {capacity} must be a multiple of batch {batch}")
+    data = jax.tree.map(
+        lambda x: jnp.zeros((capacity,) + x.shape[1:], dtype=x.dtype), example
+    )
+    return ReplayBuffer(data=data, pos=jnp.int32(0), size=jnp.int32(0))
+
+
+def add(buffer: ReplayBuffer, transitions: Any) -> ReplayBuffer:
+    """Append one env-batch of transitions (donation-friendly, in-place)."""
+    batch = jax.tree.leaves(transitions)[0].shape[0]
+    capacity = jax.tree.leaves(buffer.data)[0].shape[0]
+    start = buffer.pos
+
+    data = jax.tree.map(
+        lambda store, x: jax.lax.dynamic_update_slice(
+            store, x.astype(store.dtype), (start,) + (0,) * (store.ndim - 1)
+        ),
+        buffer.data,
+        transitions,
+    )
+    pos = jnp.mod(start + batch, capacity)
+    size = jnp.minimum(buffer.size + batch, capacity)
+    return ReplayBuffer(data=data, pos=pos, size=size)
+
+
+def sample(buffer: ReplayBuffer, key: jnp.ndarray, batch_size: int) -> Any:
+    """Uniform sample of ``batch_size`` transitions (gather over valid entries)."""
+    idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buffer.size, 1))
+    return jax.tree.map(lambda x: x[idx], buffer.data)

@@ -1,0 +1,189 @@
+"""DQN with an on-device replay buffer, one jitted step end-to-end.
+
+TPU-native re-design of the reference's CleanRL DQN example
+(ref: examples/train_cnn.py): same algorithm roles — ε-greedy exploration
+with a linear schedule (ref: train_cnn.py:170-174, 285-293), uniform replay,
+TD(0) target with a target network synced every N updates
+(ref: train_cnn.py:323-359) — but acting, replay, learning and target sync
+all happen inside one XLA program over a batched env, instead of host numpy
+envs + SB3 buffer + torch learner.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.core import engine
+from tetris_gymnasium_tpu.models.networks import QNetworkCNN
+from tetris_gymnasium_tpu.rl import buffers
+
+
+class DQNConfig(NamedTuple):
+    """Static DQN hyperparameters (CleanRL names, ref: train_cnn.py:70-125)."""
+
+    buffer_size: int = 262_144
+    gamma: float = 0.99
+    learning_rate: float = 1e-4
+    batch_size: int = 512
+    start_eps: float = 1.0
+    end_eps: float = 0.01
+    exploration_steps: int = 100_000  # env steps over which eps anneals
+    learning_starts: int = 1_000  # env steps before updates begin
+    target_update_every: int = 500  # learner steps between target syncs
+    n_actions: int = 8
+
+
+@struct.dataclass
+class DQNState:
+    """Carried state of the DQN loop (a pytree)."""
+
+    params: Any
+    target_params: Any
+    opt_state: Any
+    buffer: buffers.ReplayBuffer
+    env_states: engine.EngineState
+    obs: jnp.ndarray  # int8 [B, H, W]
+    step: jnp.ndarray  # int32 global env-step counter (per-batch steps)
+    key: jnp.ndarray
+
+
+def _epsilon(cfg: DQNConfig, step: jnp.ndarray) -> jnp.ndarray:
+    """Linear ε schedule (ref: train_cnn.py:170-174)."""
+    frac = jnp.clip(step.astype(jnp.float32) / cfg.exploration_steps, 0.0, 1.0)
+    return cfg.start_eps + frac * (cfg.end_eps - cfg.start_eps)
+
+
+def init_dqn_state(
+    key: jnp.ndarray,
+    n_envs: int,
+    env_config: EngineConfig,
+    cfg: DQNConfig,
+    net: QNetworkCNN = QNetworkCNN(),
+) -> DQNState:
+    """Fresh networks, empty buffer, fresh env batch."""
+    key, net_key, env_key = jax.random.split(key, 3)
+    env_keys = jax.vmap(lambda i: jax.random.fold_in(env_key, i))(
+        jnp.arange(n_envs, dtype=jnp.uint32)
+    )
+    env_states = jax.vmap(functools.partial(engine.init_state, config=env_config))(
+        env_keys
+    )
+    obs = jax.vmap(functools.partial(engine.observe_board, config=env_config))(
+        env_states
+    )
+    params = net.init(net_key, obs[:1])
+    opt_state = optax.adam(cfg.learning_rate).init(params)
+
+    example = {
+        "obs": obs,
+        "action": jnp.zeros((n_envs,), jnp.int32),
+        "reward": jnp.zeros((n_envs,), jnp.float32),
+        "next_obs": obs,
+        "done": jnp.zeros((n_envs,), jnp.bool_),
+    }
+    buffer = buffers.create(example, cfg.buffer_size, n_envs)
+    return DQNState(
+        params=params,
+        target_params=params,
+        opt_state=opt_state,
+        buffer=buffer,
+        env_states=env_states,
+        obs=obs,
+        step=jnp.int32(0),
+        key=key,
+    )
+
+
+def make_train_step(env_config: EngineConfig, cfg: DQNConfig, net: QNetworkCNN):
+    """Build the jitted DQN step: act -> env step -> buffer add -> TD update.
+
+    One call advances every env one step and (past ``learning_starts``) runs
+    one learner update; use under ``jax.lax.scan`` or a Python loop.
+    """
+    env_step = functools.partial(
+        engine.step, config=env_config, obs_fn=lambda s, c, p: ()
+    )
+    observe = functools.partial(engine.observe_board, config=env_config)
+    optimizer = optax.adam(cfg.learning_rate)
+
+    def td_loss(params, target_params, batch):
+        q = net.apply(params, batch["obs"])
+        q_taken = q[jnp.arange(q.shape[0]), batch["action"]]
+        q_next = net.apply(target_params, batch["next_obs"]).max(axis=-1)
+        not_done = 1.0 - batch["done"].astype(jnp.float32)
+        target = batch["reward"] + cfg.gamma * not_done * q_next
+        return jnp.mean((q_taken - jax.lax.stop_gradient(target)) ** 2)
+
+    def train_step(ts: DQNState) -> Tuple[DQNState, dict]:
+        key, eps_key, act_key, sample_key = jax.random.split(ts.key, 4)
+        n = ts.obs.shape[0]
+
+        # -- ε-greedy action (ref: train_cnn.py:285-293) ----------------------
+        q = net.apply(ts.params, ts.obs)
+        greedy = jnp.argmax(q, axis=-1)
+        random_a = jax.random.randint(act_key, (n,), 0, cfg.n_actions)
+        explore = jax.random.uniform(eps_key, (n,)) < _epsilon(cfg, ts.step)
+        action = jnp.where(explore, random_a, greedy)
+
+        # -- env step + replay add -------------------------------------------
+        env_states, _, reward, done, _ = jax.vmap(env_step)(ts.env_states, action)
+        next_obs = jax.vmap(observe)(env_states)
+        buffer = buffers.add(
+            ts.buffer,
+            {
+                "obs": ts.obs,
+                "action": action,
+                "reward": reward,
+                "next_obs": next_obs,
+                "done": done,
+            },
+        )
+
+        # -- learner update (ref: train_cnn.py:323-359) ------------------------
+        batch = buffers.sample(buffer, sample_key, cfg.batch_size)
+        loss, grads = jax.value_and_grad(td_loss)(
+            ts.params, ts.target_params, batch
+        )
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+
+        learn = ts.step >= cfg.learning_starts
+        params = jax.tree.map(
+            lambda new, old: jnp.where(learn, new, old), new_params, ts.params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(learn, new, old), opt_state, ts.opt_state
+        )
+
+        # -- periodic hard target sync (τ=1, ref: train_cnn.py:111, 353-358) ---
+        sync = learn & (jnp.mod(ts.step, cfg.target_update_every) == 0)
+        target_params = jax.tree.map(
+            lambda p, tp: jnp.where(sync, p, tp), params, ts.target_params
+        )
+
+        metrics = {
+            "loss": jnp.where(learn, loss, 0.0),
+            "mean_q": q.mean(),
+            "epsilon": _epsilon(cfg, ts.step),
+            "mean_reward": reward.mean(),
+            "episodes_done": done.sum(),
+        }
+        new_ts = DQNState(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            buffer=buffer,
+            env_states=env_states,
+            obs=next_obs,
+            step=ts.step + 1,
+            key=key,
+        )
+        return new_ts, metrics
+
+    return train_step

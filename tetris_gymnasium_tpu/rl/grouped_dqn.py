@@ -1,0 +1,209 @@
+"""Grouped-placement DQN: Q over (column, rotation) actions, on device.
+
+TPU-native re-design of the reference's grouped linear DQN example
+(ref: examples/train_lin_grouped.py): the Q-network scores each candidate
+placement's feature vector (ref: train_lin_grouped.py:157-175), exploration
+and greedy argmax respect the legality mask
+(ref: train_lin_grouped.py:298-314), and the replay stores per-candidate
+feature observations.  The whole act/step/replay/update loop is one jitted
+program over a batched grouped env — the reference's 40-placement Python
+simulation per step (ref: wrappers/grouped.py:148-181) is here a vmapped
+candidate axis inside the env step.
+
+Gravity is disabled, as in the reference example
+(ref: train_lin_grouped.py:130-153).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.core import grouped
+from tetris_gymnasium_tpu.models.networks import QMLP
+from tetris_gymnasium_tpu.rl import buffers
+
+NEG_INF = -1e9
+
+
+class GroupedDQNConfig(NamedTuple):
+    """Static hyperparameters (ref: examples/train_lin_grouped.py:64-127)."""
+
+    buffer_size: int = 131_072
+    gamma: float = 0.99
+    learning_rate: float = 2.5e-4
+    batch_size: int = 256
+    start_eps: float = 1.0
+    end_eps: float = 0.05
+    exploration_steps: int = 50_000
+    learning_starts: int = 1_000
+    target_update_every: int = 500
+
+
+@struct.dataclass
+class GroupedDQNState:
+    """Carried state of the grouped DQN loop."""
+
+    params: Any
+    target_params: Any
+    opt_state: Any
+    buffer: buffers.ReplayBuffer
+    env_states: grouped.GroupedState
+    obs: jnp.ndarray  # float32 [B, A, F] per-candidate features
+    step: jnp.ndarray
+    key: jnp.ndarray
+
+
+def _epsilon(cfg: GroupedDQNConfig, step: jnp.ndarray) -> jnp.ndarray:
+    frac = jnp.clip(step.astype(jnp.float32) / cfg.exploration_steps, 0.0, 1.0)
+    return cfg.start_eps + frac * (cfg.end_eps - cfg.start_eps)
+
+
+def _masked_q(net: QMLP, params, obs: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Q per candidate, illegal candidates at -inf.  obs: [B, A, F]."""
+    q = net.apply(params, obs)  # QMLP squeezes the feature axis -> [B, A]
+    return jnp.where(mask > 0, q, NEG_INF)
+
+
+def _masked_random(key, mask):
+    """Uniform choice among legal actions (ref: train_lin_grouped.py:298-305)."""
+    g = jax.random.gumbel(key, mask.shape)
+    return jnp.argmax(jnp.where(mask > 0, g, NEG_INF), axis=-1)
+
+
+def init_grouped_dqn_state(
+    key: jnp.ndarray,
+    n_envs: int,
+    env_config: EngineConfig,
+    cfg: GroupedDQNConfig,
+    net: QMLP = QMLP(),
+) -> GroupedDQNState:
+    """Fresh networks, empty buffer, fresh grouped env batch."""
+    key, net_key, env_key = jax.random.split(key, 3)
+    env_keys = jax.vmap(lambda i: jax.random.fold_in(env_key, i))(
+        jnp.arange(n_envs, dtype=jnp.uint32)
+    )
+    env_states, obs = jax.vmap(
+        functools.partial(grouped.reset, config=env_config, mode="features")
+    )(env_keys)
+
+    params = net.init(net_key, obs[:1])
+    opt_state = optax.adam(cfg.learning_rate).init(params)
+
+    n_actions = env_config.width * 4
+    example = {
+        "obs": obs,
+        "mask": jnp.zeros((n_envs, n_actions), jnp.float32),
+        "action": jnp.zeros((n_envs,), jnp.int32),
+        "reward": jnp.zeros((n_envs,), jnp.float32),
+        "next_obs": obs,
+        "next_mask": jnp.zeros((n_envs, n_actions), jnp.float32),
+        "done": jnp.zeros((n_envs,), jnp.bool_),
+    }
+    buffer = buffers.create(example, cfg.buffer_size, n_envs)
+    return GroupedDQNState(
+        params=params,
+        target_params=params,
+        opt_state=opt_state,
+        buffer=buffer,
+        env_states=env_states,
+        obs=obs,
+        step=jnp.int32(0),
+        key=key,
+    )
+
+
+def make_train_step(env_config: EngineConfig, cfg: GroupedDQNConfig, net: QMLP):
+    """Build the jitted grouped-DQN step.
+
+    ``env_config`` should have ``gravity_enabled=False`` and
+    ``auto_reset=True`` for training (the reference example resets host-side,
+    ref: train_lin_grouped.py:316-321).
+    """
+    env_step = functools.partial(
+        grouped.step, config=env_config, mode="features", terminate_on_illegal=True
+    )
+    optimizer = optax.adam(cfg.learning_rate)
+
+    def td_loss(params, target_params, batch):
+        q = _masked_q(net, params, batch["obs"], batch["mask"])
+        q_taken = q[jnp.arange(q.shape[0]), batch["action"]]
+        q_next = _masked_q(net, target_params, batch["next_obs"], batch["next_mask"])
+        # A terminal next state may have an all-illegal mask; clamp the max.
+        best_next = jnp.maximum(q_next.max(axis=-1), 0.0)
+        not_done = 1.0 - batch["done"].astype(jnp.float32)
+        target = batch["reward"] + cfg.gamma * not_done * best_next
+        return jnp.mean((q_taken - jax.lax.stop_gradient(target)) ** 2)
+
+    def train_step(ts: GroupedDQNState) -> Tuple[GroupedDQNState, dict]:
+        key, eps_key, act_key, sample_key = jax.random.split(ts.key, 4)
+        n = ts.obs.shape[0]
+        mask = ts.env_states.mask
+
+        # -- masked ε-greedy (ref: train_lin_grouped.py:298-314) --------------
+        q = _masked_q(net, ts.params, ts.obs, mask)
+        greedy = jnp.argmax(q, axis=-1)
+        random_a = _masked_random(act_key, mask)
+        explore = jax.random.uniform(eps_key, (n,)) < _epsilon(cfg, ts.step)
+        action = jnp.where(explore, random_a, greedy)
+
+        # -- env step + replay add --------------------------------------------
+        env_states, next_obs, reward, done, info = jax.vmap(env_step)(
+            ts.env_states, action
+        )
+        buffer = buffers.add(
+            ts.buffer,
+            {
+                "obs": ts.obs,
+                "mask": mask,
+                "action": action,
+                "reward": reward,
+                "next_obs": next_obs,
+                "next_mask": env_states.mask,
+                "done": done,
+            },
+        )
+
+        # -- learner update -----------------------------------------------------
+        batch = buffers.sample(buffer, sample_key, cfg.batch_size)
+        loss, grads = jax.value_and_grad(td_loss)(ts.params, ts.target_params, batch)
+        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+
+        learn = ts.step >= cfg.learning_starts
+        params = jax.tree.map(
+            lambda new, old: jnp.where(learn, new, old), new_params, ts.params
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(learn, new, old), opt_state, ts.opt_state
+        )
+        sync = learn & (jnp.mod(ts.step, cfg.target_update_every) == 0)
+        target_params = jax.tree.map(
+            lambda p, tp: jnp.where(sync, p, tp), params, ts.target_params
+        )
+
+        metrics = {
+            "loss": jnp.where(learn, loss, 0.0),
+            "epsilon": _epsilon(cfg, ts.step),
+            "mean_reward": reward.mean(),
+            "episodes_done": done.sum(),
+            "lines_cleared": info["lines_cleared"].sum(),
+        }
+        new_ts = GroupedDQNState(
+            params=params,
+            target_params=target_params,
+            opt_state=opt_state,
+            buffer=buffer,
+            env_states=env_states,
+            obs=next_obs,
+            step=ts.step + 1,
+            key=key,
+        )
+        return new_ts, metrics
+
+    return train_step

@@ -1,0 +1,218 @@
+"""PPO, anakin-style: actor and learner co-located on device, one jitted step.
+
+TPU-native re-design of the reference's CleanRL PPO example
+(ref: examples/train_ppo.py) with the same algorithm and hyperparameter roles
+(GAE, clipped surrogate, entropy bonus, value clipping, minibatch epochs;
+ref: train_ppo.py:263-351) but an inverted execution model: the reference
+steps 8 Python envs on host and ships observations to a GPU per step
+(ref: train_ppo.py:185-190, 224-261); here the envs, the rollout buffer, the
+policy and the optimizer all live on device and a whole
+rollout-plus-update iteration is ONE XLA program.
+
+Scaling: ``train_step`` is a pure function of (TrainState) -> (TrainState,
+metrics).  Under ``jax.jit`` with the env batch sharded ``P("env")`` and
+parameters replicated, XLA inserts the gradient all-reduce automatically —
+the jit/pjit recipe, no hand-written collectives.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.core import engine
+from tetris_gymnasium_tpu.models.networks import ActorCriticCNN
+
+
+class PPOConfig(NamedTuple):
+    """Static PPO hyperparameters (CleanRL names, ref: train_ppo.py:29-88)."""
+
+    rollout_len: int = 128
+    update_epochs: int = 6
+    n_minibatches: int = 8
+    gamma: float = 0.999
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    ent_coef: float = 0.1
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    learning_rate: float = 2.5e-4
+
+
+@struct.dataclass
+class TrainState:
+    """Everything a PPO iteration carries (a pytree; shard env_states P('env'))."""
+
+    params: Any
+    opt_state: Any
+    env_states: engine.EngineState
+    last_obs: jnp.ndarray  # int8 [B, H, W]
+    key: jnp.ndarray
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray
+    log_prob: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+def make_optimizer(ppo: PPOConfig) -> optax.GradientTransformation:
+    """Adam with global-norm clipping (ref: train_ppo.py:182, 348-349)."""
+    return optax.chain(
+        optax.clip_by_global_norm(ppo.max_grad_norm),
+        optax.adam(ppo.learning_rate, eps=1e-5),
+    )
+
+
+def init_train_state(
+    key: jnp.ndarray, n_envs: int, env_config: EngineConfig, ppo: PPOConfig,
+    net: ActorCriticCNN = ActorCriticCNN(),
+) -> TrainState:
+    """Initialise params, optimizer and a fresh sharded-ready env batch."""
+    key, net_key, env_key = jax.random.split(key, 3)
+    env_keys = jax.vmap(lambda i: jax.random.fold_in(env_key, i))(
+        jnp.arange(n_envs, dtype=jnp.uint32)
+    )
+    env_states = jax.vmap(functools.partial(engine.init_state, config=env_config))(
+        env_keys
+    )
+    obs = jax.vmap(functools.partial(engine.observe_board, config=env_config))(
+        env_states
+    )
+    params = net.init(net_key, obs[:1])
+    opt_state = make_optimizer(ppo).init(params)
+    return TrainState(
+        params=params, opt_state=opt_state, env_states=env_states,
+        last_obs=obs, key=key,
+    )
+
+
+def _gae(ppo: PPOConfig, traj: Transition, last_value: jnp.ndarray):
+    """Generalised advantage estimation, reverse scan (ref: train_ppo.py:263-281)."""
+
+    def one(carry, t):
+        gae, next_value = carry
+        not_done = 1.0 - t.done.astype(jnp.float32)
+        delta = t.reward + ppo.gamma * next_value * not_done - t.value
+        gae = delta + ppo.gamma * ppo.gae_lambda * not_done * gae
+        return (gae, t.value), gae
+
+    (_, _), advantages = jax.lax.scan(
+        one, (jnp.zeros_like(last_value), last_value), traj, reverse=True
+    )
+    return advantages, advantages + traj.value
+
+
+def make_train_step(env_config: EngineConfig, ppo: PPOConfig, net: ActorCriticCNN):
+    """Build the jittable PPO iteration: rollout T steps, then update.
+
+    ``env_config.auto_reset`` should be True so episodes restart on device
+    (the reference relies on SyncVectorEnv's host-side autoreset,
+    ref: train_ppo.py:185-190).
+    """
+    env_step = functools.partial(
+        engine.step, config=env_config, obs_fn=lambda s, c, p: ()
+    )
+    observe = functools.partial(engine.observe_board, config=env_config)
+
+    def policy_step(carry, _):
+        env_states, obs, params, key = carry
+        key, act_key = jax.random.split(key)
+        logits, value = net.apply(params, obs)
+        action = jax.random.categorical(act_key, logits)
+        log_prob = jax.nn.log_softmax(logits)[jnp.arange(logits.shape[0]), action]
+        env_states, _, reward, done, _ = jax.vmap(env_step)(env_states, action)
+        new_obs = jax.vmap(observe)(env_states)
+        t = Transition(obs, action, log_prob, value, reward, done)
+        return (env_states, new_obs, params, key), t
+
+    def loss_fn(params, batch, advantages, targets):
+        logits, value = net.apply(params, batch.obs)
+        log_probs = jax.nn.log_softmax(logits)
+        log_prob = log_probs[jnp.arange(logits.shape[0]), batch.action]
+        ratio = jnp.exp(log_prob - batch.log_prob)
+
+        adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = -adv * ratio
+        pg2 = -adv * jnp.clip(ratio, 1 - ppo.clip_eps, 1 + ppo.clip_eps)
+        pg_loss = jnp.maximum(pg1, pg2).mean()
+
+        v_clipped = batch.value + jnp.clip(
+            value - batch.value, -ppo.clip_eps, ppo.clip_eps
+        )
+        v_loss = 0.5 * jnp.maximum(
+            (value - targets) ** 2, (v_clipped - targets) ** 2
+        ).mean()
+
+        entropy = -jnp.sum(jnp.exp(log_probs) * log_probs, axis=-1).mean()
+        total = pg_loss + ppo.vf_coef * v_loss - ppo.ent_coef * entropy
+        return total, (pg_loss, v_loss, entropy)
+
+    optimizer = make_optimizer(ppo)
+
+    def train_step(ts: TrainState) -> Tuple[TrainState, dict]:
+        # -- rollout ---------------------------------------------------------
+        (env_states, last_obs, _, key), traj = jax.lax.scan(
+            policy_step,
+            (ts.env_states, ts.last_obs, ts.params, ts.key),
+            None,
+            length=ppo.rollout_len,
+        )
+        _, last_value = net.apply(ts.params, last_obs)
+        advantages, targets = _gae(ppo, traj, last_value)
+
+        # -- flatten [T, B] -> [T*B] -----------------------------------------
+        n = ppo.rollout_len * last_obs.shape[0]
+        flat = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), traj)
+        adv_f = advantages.reshape(n)
+        tgt_f = targets.reshape(n)
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, perm_key = jax.random.split(key)
+            perm = jax.random.permutation(perm_key, n)
+
+            def minibatch(carry2, idx):
+                params, opt_state = carry2
+                mb = jax.tree.map(lambda x: x[idx], flat)
+                grads, aux = jax.grad(loss_fn, has_aux=True)(
+                    params, mb, adv_f[idx], tgt_f[idx]
+                )
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            idxs = perm.reshape(ppo.n_minibatches, -1)
+            (params, opt_state), aux = jax.lax.scan(
+                minibatch, (params, opt_state), idxs
+            )
+            return (params, opt_state, key), aux
+
+        (params, opt_state, key), aux = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None, length=ppo.update_epochs
+        )
+        pg_loss, v_loss, entropy = jax.tree.map(lambda x: x[-1, -1], aux)
+
+        metrics = {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": entropy,
+            "mean_reward": traj.reward.mean(),
+            "episodes_done": traj.done.sum(),
+            "mean_score": ts.env_states.score.mean(),
+        }
+        new_ts = TrainState(
+            params=params, opt_state=opt_state, env_states=env_states,
+            last_obs=last_obs, key=key,
+        )
+        return new_ts, metrics
+
+    return train_step
