@@ -8,13 +8,6 @@ ref: tests/test_functional/test_jax_compat.py).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE_ROOT = "/root/reference"
 
@@ -26,6 +19,14 @@ if os.path.isdir(REFERENCE_ROOT) and REFERENCE_ROOT not in sys.path:
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+# Env vars are NOT sufficient here: this machine's interpreter boots with a
+# sitecustomize that registers the TPU PJRT plugin before any test code runs,
+# so JAX_PLATFORMS/XLA_FLAGS set in-process are ignored and the suite would
+# silently grab (and contend for) the single real chip.  The config API works
+# post-import and is authoritative.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # XLA-CPU compiles are slow in this environment (~0.4 s per op, minutes for a
 # full step program); the persistent cache makes reruns near-instant.

@@ -1,0 +1,104 @@
+"""Gymnasium shell tests: API compliance, determinism, state cloning.
+
+Mirrors the reference's integration suite (ref: tests/test_integration/
+test_gameplay.py, tests/test_base_env/test_base_env_general.py:139-173).
+"""
+import gymnasium as gym
+import numpy as np
+import pytest
+
+import tetris_gymnasium_tpu.envs  # noqa: F401 (registers the env)
+
+
+@pytest.fixture()
+def env():
+    e = gym.make("tetris_gymnasium_tpu/Tetris", render_mode="rgb_array")
+    yield e
+    e.close()
+
+
+def test_env_checker_compliance(env):
+    """gymnasium.utils.env_checker passes (ref: test_gameplay.py:25-32)."""
+    from gymnasium.utils.env_checker import check_env
+
+    check_env(env.unwrapped, skip_render_check=True)
+
+
+def test_registration_and_spaces(env):
+    assert env.action_space.n == 8
+    obs, info = env.reset(seed=0)
+    assert set(obs) == {"board", "active_tetromino_mask", "holder", "queue"}
+    for k, space in env.observation_space.items():
+        assert obs[k].shape == space.shape, k
+        assert obs[k].dtype == space.dtype, k
+
+
+def test_same_seed_same_episode(env):
+    """Same seed -> identical 50-step trajectories (ref: test_base_env_reset.py:26-33)."""
+    def play(seed):
+        obs, _ = env.reset(seed=seed)
+        frames = [obs["board"]]
+        rng = np.random.default_rng(7)
+        for _ in range(50):
+            obs, r, term, trunc, _ = env.step(int(rng.integers(0, 8)))
+            frames.append(obs["board"])
+            if term:
+                break
+        return frames
+
+    a, b = play(11), play(11)
+    assert len(a) == len(b)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_clone_restore_determinism(env, trial):
+    """clone -> act -> restore -> act must match exactly
+    (ref: test_base_env_general.py:139-173, run 100x there)."""
+    env.reset(seed=trial)
+    rng = np.random.default_rng(trial)
+    for _ in range(int(rng.integers(1, 20))):
+        env.step(int(rng.integers(0, 8)))
+
+    snapshot = env.unwrapped.get_state()
+    actions = [int(rng.integers(0, 8)) for _ in range(10)]
+
+    first = [env.step(a) for a in actions]
+    env.unwrapped.set_state(snapshot)
+    second = [env.step(a) for a in actions]
+
+    for (o1, r1, t1, _, i1), (o2, r2, t2, _, i2) in zip(first, second):
+        assert r1 == r2 and t1 == t2
+        assert i1["lines_cleared"] == i2["lines_cleared"]
+        for k in o1:
+            assert np.array_equal(o1[k], o2[k]), k
+
+
+def test_render_rgb_array(env):
+    env.reset(seed=0)
+    frame = env.render()
+    cfg = env.unwrapped.config
+    side = max(cfg.queue_size, cfg.holder_size) * cfg.padding
+    assert frame.shape == (cfg.padded_height, cfg.padded_width + side, 3)
+    assert frame.dtype == np.uint8
+
+
+def test_ansi_render():
+    env = gym.make("tetris_gymnasium_tpu/Tetris", render_mode="ansi")
+    env.reset(seed=0)
+    text = env.render()
+    assert isinstance(text, str) and "#" in text
+    env.close()
+
+
+def test_random_play_reaches_game_over():
+    """Random play terminates (ref: functional test_integration.py:20-43)."""
+    env = gym.make("tetris_gymnasium_tpu/Tetris")
+    env.reset(seed=5)
+    rng = np.random.default_rng(5)
+    for step in range(10_000):
+        _, _, term, _, _ = env.step(int(rng.integers(0, 8)))
+        if term:
+            break
+    assert term, "random play never reached game over in 10k steps"
+    env.close()

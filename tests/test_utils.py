@@ -1,0 +1,54 @@
+"""Checkpoint/restore and config-plumbing tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.core import engine
+from tetris_gymnasium_tpu.utils import checkpoint
+
+
+def test_checkpoint_roundtrip_env_state(tmp_path):
+    """{env-state pytree} checkpoints round-trip exactly (SURVEY.md §5)."""
+    cfg = EngineConfig()
+    state = engine.init_state(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, state)
+    restored = checkpoint.restore(path, jax.device_get(state))
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume_continues_identically(tmp_path):
+    """Restore-and-replay gives the same trajectory as never stopping."""
+    cfg = EngineConfig(gravity_enabled=False)
+    step = engine.jit_step(cfg, obs="board")
+    s = engine.init_state(jax.random.PRNGKey(1), cfg)
+    for a in (0, 1, 5, 3):
+        s, *_ = step(s, jnp.int32(a))
+
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, s)
+    s2 = checkpoint.restore(path, jax.device_get(s))
+
+    for a in (5, 5, 2, 4):
+        s, *_ = step(s, jnp.int32(a))
+        s2, *_ = step(s2, jnp.int32(a))
+    assert np.array_equal(np.asarray(s.board), np.asarray(s2.board))
+    assert float(s.score) == float(s2.score)
+
+
+def test_uniform_randomizer_covers_all_pieces():
+    """queue_kind='uniform' samples every piece id (no off-by-one; the
+    compat engine keeps the reference bug, the native engine must not)."""
+    cfg = EngineConfig(gravity_enabled=False, queue_kind="uniform")
+    step = engine.jit_step(cfg, obs="board")
+    s = engine.init_state(jax.random.PRNGKey(0), cfg)
+    seen = {int(s.piece)}
+    for _ in range(60):
+        s, *_ = step(s, jnp.int32(5))  # hard drop -> new piece
+        if bool(s.game_over):
+            s = engine.init_state(jax.random.fold_in(s.key, 1), cfg)
+        seen.add(int(s.piece))
+    assert seen == set(range(7))

@@ -1,0 +1,106 @@
+"""Wrapper tests: RGB compositing and feature-vector values.
+
+Mirrors the reference wrapper suite (ref: tests/test_wrappers/) — value-exact
+feature checks against the hand-computed fixture board of
+tests/helpers/mock.py:5-47 (heights [10,11,10,10,11,11,10,10,10,0], 3 holes,
+max height 11, bumpiness 14).
+"""
+import gymnasium as gym
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tetris_gymnasium_tpu.envs  # noqa: F401
+from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.ops.board import create_board
+from tetris_gymnasium_tpu.ops.observations import (
+    bumpiness,
+    column_heights,
+    feature_vector,
+    holes,
+    max_height,
+)
+from tetris_gymnasium_tpu.wrappers import FeatureVectorObservation, RgbObservation
+
+CFG = EngineConfig()
+H, W, P = CFG.height, CFG.width, CFG.padding
+
+EXPECTED_HEIGHTS = [10, 11, 10, 10, 11, 11, 10, 10, 10, 0]
+
+
+def example_playfield():
+    """Reference fixture board, cropped (ref: tests/helpers/mock.py:5-47)."""
+    board = np.asarray(create_board(H, W, P)).copy()
+    top = H // 2
+    board[top:H, P : -(P + 1)] = 2
+    board[top - 1, P + 1] = 2
+    board[top - 1, P + 4] = 2
+    board[top - 1, P + 5] = 2
+    board[top + 2, P + 2] = 0
+    board[top + 4, P + 3] = 0
+    board[top + 6, P + 6] = 0
+    return jnp.asarray(board[:-P, P:-P])
+
+
+def test_feature_values_match_reference_fixture():
+    pf = example_playfield()
+    assert np.asarray(column_heights(pf)).tolist() == EXPECTED_HEIGHTS
+    assert int(max_height(pf)) == 11
+    assert int(holes(pf)) == 3
+    assert int(bumpiness(pf)) == 14
+    vec = np.asarray(feature_vector(pf))
+    assert vec.tolist() == EXPECTED_HEIGHTS + [11, 3, 14]
+
+
+def test_feature_wrapper_shapes_and_flags():
+    env = gym.make("tetris_gymnasium_tpu/Tetris")
+    w = FeatureVectorObservation(env)
+    obs, _ = w.reset(seed=0)
+    assert obs.shape == (W + 3,)
+    w2 = FeatureVectorObservation(env, report_height=False)
+    obs2, _ = w2.reset(seed=0)
+    assert obs2.shape == (3,)
+    env.close()
+
+
+def test_feature_wrapper_excludes_active_piece():
+    """A fresh board has zero features even with a piece in flight."""
+    env = gym.make("tetris_gymnasium_tpu/Tetris")
+    w = FeatureVectorObservation(env)
+    obs, _ = w.reset(seed=0)
+    assert obs.tolist() == [0] * (W + 3)
+    env.close()
+
+
+def test_rgb_wrapper_layout():
+    """Board left, queue top-right, holder bottom-right, bedrock separator
+    (ref: wrappers/observation.py:38-74)."""
+    env = gym.make("tetris_gymnasium_tpu/Tetris")
+    w = RgbObservation(env)
+    obs, _ = w.reset(seed=0)
+    cfg = env.unwrapped.config
+    side = max(cfg.queue_size, cfg.holder_size) * cfg.padding
+    assert obs.shape == (cfg.padded_height, cfg.padded_width + side, 3)
+    assert obs.dtype == np.uint8
+    # bedrock frame color (128,128,128) in the bottom padding rows
+    assert obs[-1, 0].tolist() == [128, 128, 128]
+    # queue thumbnails occupy the top-right strip: some non-bedrock color
+    strip = obs[: cfg.padding, cfg.padded_width :]
+    assert (strip != 128).any()
+    env.close()
+
+
+def test_rgb_wrapper_palette_matches_cells():
+    env = gym.make("tetris_gymnasium_tpu/Tetris")
+    w = RgbObservation(env)
+    w.reset(seed=0)
+    inner = env.unwrapped
+    base = inner.step  # step through the wrapper to keep state in sync
+    obs, *_ = w.step(5)  # hard drop: at least one piece locked on the board
+    board = np.asarray(inner.state.board)
+    palette = inner.pieces.palette
+    cfg = inner.config
+    ys, xs = np.nonzero(board)
+    for y, x in list(zip(ys, xs))[:20]:
+        assert obs[y, x].tolist() == palette[board[y, x]].tolist()
+    env.close()

@@ -16,6 +16,16 @@ Layers (bottom-up):
   * ``models`` / ``rl``      — Flax networks + on-device RL training loops.
 """
 
+import os as _os
+
+if not _os.environ.get("TETRIS_TPU_NO_CACHE"):
+    # XLA compiles dominate startup for this engine (the step program is large
+    # relative to its microsecond runtime); the on-disk cache makes every
+    # process after the first start instantly.  Opt out: TETRIS_TPU_NO_CACHE=1.
+    from tetris_gymnasium_tpu.utils.compilation import enable_persistent_cache
+
+    enable_persistent_cache()
+
 from tetris_gymnasium_tpu.config import (
     ActionsMapping,
     EngineConfig,

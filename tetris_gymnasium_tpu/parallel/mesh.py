@@ -64,6 +64,7 @@ def _sharded_engine_fns(config: EngineConfig, mesh: Mesh, obs: str):
     reset_fn = jax.jit(
         jax.vmap(functools.partial(engine.reset, config=config, obs_fn=obs_fn)),
         in_shardings=(shard,),
+        out_shardings=shard,
     )
     step_fn = jax.jit(
         jax.vmap(functools.partial(engine.step, config=config, obs_fn=obs_fn)),
@@ -130,7 +131,12 @@ def sharded_random_rollout(
     horizon: int,
     engine_kind: str = "engine",
 ):
-    """Run ``horizon`` random steps on-device; returns (states, Σreward, Σdone)."""
+    """Run ``horizon`` random steps on-device; returns (states, Σreward, Σdone).
+
+    The state pytree is (re-)laid out ``P("env")`` on entry, so callers may
+    pass states produced on any mesh.
+    """
+    states = jax.device_put(states, env_sharding(mesh))
     return _sharded_rollout_fn(config, mesh, horizon, engine_kind)(states, rollout_key)
 
 
