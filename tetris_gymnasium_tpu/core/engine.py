@@ -35,7 +35,7 @@ from tetris_gymnasium_tpu.ops.board import (
     project,
     spawn_x_classic,
 )
-from tetris_gymnasium_tpu.pieces import NUM_PIECES, PIECES, PieceSet, piece_matrix
+from tetris_gymnasium_tpu.pieces import PIECES, PieceSet, piece_matrix
 from tetris_gymnasium_tpu.utils.tree import select_tree
 
 ACTIONS = ActionsMapping()
@@ -70,38 +70,18 @@ class EngineState:
 # ---------------------------------------------------------------------------
 
 
-def _bag_draw(bag, bag_index, key):
-    """Draw one piece from the 7-bag; reshuffle (new sub-key) when exhausted.
-
-    Semantics of the OOP BagRandomizer (ref: components/tetromino_randomizer.py:67-87)
-    expressed with a jax.random permutation instead of a stateful PCG64.
-    """
-    need = bag_index >= NUM_PIECES
-    new_key, sub = jax.random.split(key)
-    fresh = jax.random.permutation(sub, jnp.arange(NUM_PIECES))
-    bag = jnp.where(need, fresh, bag)
-    idx = jnp.where(need, 0, bag_index)
-    piece = bag[idx]
-    key = jnp.where(need, new_key, key)
-    return piece, bag, idx + 1, key
-
-
-def _uniform_draw(bag, bag_index, key):
-    """Uniform draw over all pieces; bag state passes through untouched.
-
-    Semantics of the OOP TrueRandomizer
-    (ref: components/tetromino_randomizer.py:105-136) — a correct uniform over
-    0..6, unlike the reference functional queue's off-by-one
-    (ref: functional/queue.py:87, kept only in the compat engine).
-    """
-    new_key, sub = jax.random.split(key)
-    piece = jax.random.randint(sub, (), 0, NUM_PIECES)
-    return piece, bag, bag_index, new_key
-
-
 def _draw(config: EngineConfig):
-    """Select the randomizer at trace time (queue_kind is static config)."""
-    return {"bag": _bag_draw, "uniform": _uniform_draw}[config.queue_kind]
+    """Select the randomizer at trace time (queue_kind is static config).
+
+    Strategies are pure draw functions from the component registry
+    (:mod:`tetris_gymnasium_tpu.components.tetromino_randomizer`): "bag" and
+    "uniform" are built in (the reference's BagRandomizer / TrueRandomizer,
+    ref: components/tetromino_randomizer.py:49-136); users add their own with
+    ``register_randomizer``.
+    """
+    from tetris_gymnasium_tpu.components.tetromino_randomizer import get_draw_fn
+
+    return get_draw_fn(config.queue_kind)
 
 
 def _queue_draw(queue, bag, bag_index, key, config: EngineConfig):
@@ -124,9 +104,10 @@ def _queue_draw(queue, bag, bag_index, key, config: EngineConfig):
 
 def init_state(key: jnp.ndarray, config: EngineConfig, pieces: PieceSet = PIECES) -> EngineState:
     """Fresh episode state from one per-env PRNG key."""
+    n_pieces = int(pieces.ids.shape[0])
     pieces = pieces.jx()
     carry_key, bag_key = jax.random.split(key)
-    bag = jax.random.permutation(bag_key, jnp.arange(NUM_PIECES))
+    bag = jax.random.permutation(bag_key, jnp.arange(n_pieces))
     bag_index = jnp.int32(0)
 
     queue = jnp.zeros((config.queue_size,), dtype=jnp.int32)
@@ -182,11 +163,12 @@ def active_mask(state: EngineState, config: EngineConfig, pieces: PieceSet = PIE
 
 def _strip(piece_ids, rotations, valid, pieces: PieceSet) -> jnp.ndarray:
     """Render a row of piece thumbnails ``[4, 4*n]``; invalid slots = bedrock."""
-    mats = jnp.asarray(pieces.matrices)[piece_ids, rotations]  # [n, 4, 4] binary
+    size = pieces.matrices.shape[-1]
+    mats = jnp.asarray(pieces.matrices)[piece_ids, rotations]  # [n, S, S] binary
     ids = jnp.asarray(pieces.ids)[piece_ids].astype(jnp.uint8)[:, None, None]
     tiles = (mats.astype(jnp.uint8) * ids)
     tiles = jnp.where(valid[:, None, None], tiles, jnp.uint8(1))
-    return tiles.transpose(1, 0, 2).reshape(4, -1)
+    return tiles.transpose(1, 0, 2).reshape(size, -1)
 
 
 def project_active(state: EngineState, config: EngineConfig, pieces: PieceSet = PIECES) -> jnp.ndarray:

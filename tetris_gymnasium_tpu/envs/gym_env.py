@@ -21,7 +21,8 @@ API parity with the reference ``Tetris(gym.Env)``:
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+import functools
+from typing import Any, Optional, Sequence, Tuple
 
 import gymnasium as gym
 import numpy as np
@@ -29,6 +30,14 @@ from gymnasium import spaces
 
 import jax
 
+from tetris_gymnasium_tpu.components.tetromino import (
+    Pixel,
+    Tetromino as TetrominoPiece,
+    pieces_from_tetrominoes,
+)
+from tetris_gymnasium_tpu.components.tetromino_holder import TetrominoHolder
+from tetris_gymnasium_tpu.components.tetromino_queue import TetrominoQueue
+from tetris_gymnasium_tpu.components.tetromino_randomizer import Randomizer
 from tetris_gymnasium_tpu.config import ActionsMapping, EngineConfig, RewardsMapping
 from tetris_gymnasium_tpu.core import engine
 from tetris_gymnasium_tpu.core.engine import EngineState
@@ -58,35 +67,73 @@ class Tetris(gym.Env):
         actions_mapping: ActionsMapping = ActionsMapping(),
         rewards_mapping: RewardsMapping = RewardsMapping(),
         render_upscale: int = 10,
-        randomizer: str = "bag",
+        randomizer=None,
+        queue: Optional[TetrominoQueue] = None,
+        holder: Optional[TetrominoHolder] = None,
+        tetrominoes: Optional[Sequence[TetrominoPiece]] = None,
+        base_pixels: Optional[Sequence[Pixel]] = None,
     ):
-        """``randomizer`` selects the piece sampler: "bag" (7-bag, the
-        reference's BagRandomizer default) or "uniform" (TrueRandomizer),
-        mirroring the reference's pluggable randomizer classes
-        (ref: components/tetromino_randomizer.py:49-136)."""
+        """Pluggable components mirror the reference constructor
+        (ref: envs/tetris.py:77-107):
+
+        * ``randomizer`` — a :class:`Randomizer` instance (BagRandomizer /
+          TrueRandomizer / a custom subclass whose ``engine_kind`` names a
+          registered pure strategy) or a strategy name string; default "bag".
+        * ``queue`` / ``holder`` — :class:`TetrominoQueue` /
+          :class:`TetrominoHolder` handles; their sizes (and the queue's
+          randomizer) configure the engine.
+        * ``tetrominoes`` / ``base_pixels`` — custom piece sets, compiled to
+          static device tables (board padding = the pieces' box size, as in
+          ref: envs/tetris.py:131).
+        """
+        if queue is not None:
+            queue_size = queue.size
+            if randomizer is None:
+                randomizer = queue.randomizer
+        if holder is not None:
+            holder_size = holder.size
+        if randomizer is None:
+            randomizer = "bag"
+        queue_kind = (
+            randomizer if isinstance(randomizer, str) else randomizer.engine_kind
+        )
+
+        if tetrominoes is not None or base_pixels is not None:
+            if tetrominoes is None:
+                from tetris_gymnasium_tpu.components.tetromino import (
+                    default_tetrominoes,
+                )
+
+                tetrominoes = default_tetrominoes()
+            pieces, padding = pieces_from_tetrominoes(tetrominoes, base_pixels)
+        else:
+            pieces, padding = PIECES, 4
+
         self.config = EngineConfig(
             width=width,
             height=height,
+            padding=padding,
             queue_size=queue_size,
             holder_size=holder_size,
             gravity_enabled=gravity,
-            queue_kind=randomizer,
+            queue_kind=queue_kind,
         )
         self.actions = actions_mapping
         self.rewards = rewards_mapping
         self.render_mode = render_mode
         self.render_scaling_factor = render_upscale
-        self.pieces = PIECES
+        self.pieces = pieces
 
         cfg = self.config
         pad = cfg.padding
         hw = (cfg.padded_height, cfg.padded_width)
+        max_id = int(np.max(pieces.ids))
         self.observation_space = spaces.Dict(
             {
-                "board": spaces.Box(0, 8, hw, dtype=np.uint8),
+                "board": spaces.Box(0, max_id, hw, dtype=np.uint8),
                 "active_tetromino_mask": spaces.Box(0, 1, hw, dtype=np.uint8),
-                "holder": spaces.Box(0, 8, (pad, pad * holder_size), dtype=np.uint8),
-                "queue": spaces.Box(0, 8, (pad, pad * queue_size), dtype=np.uint8),
+                "holder": spaces.Box(0, max_id, (pad, pad * holder_size), dtype=np.uint8),
+                "queue": spaces.Box(0, max_id, (pad, pad * queue_size), dtype=np.uint8),
             }
         )
         self.action_space = spaces.Discrete(8)
@@ -103,9 +150,28 @@ class Tetris(gym.Env):
                 defaults, name
             )
 
-        self._step = engine.jit_step(cfg, rewards=rewards_mapping)
-        self._reset = engine.jit_reset(cfg)
-        self._rgb = engine.jit_render_rgb(cfg)
+        if pieces is PIECES:
+            self._step = engine.jit_step(cfg, rewards=rewards_mapping)
+            self._reset = engine.jit_reset(cfg)
+            self._rgb = engine.jit_render_rgb(cfg)
+            self._observe = engine.jit_observe(cfg)
+        else:
+            # Custom piece tables are not hashable cache keys; build
+            # dedicated jitted programs closing over them.
+            self._step = jax.jit(
+                functools.partial(
+                    engine.step, config=cfg, pieces=pieces, rewards=rewards_mapping
+                )
+            )
+            self._reset = jax.jit(
+                functools.partial(engine.reset, config=cfg, pieces=pieces)
+            )
+            self._rgb = jax.jit(
+                functools.partial(engine.render_rgb, config=cfg, pieces=pieces)
+            )
+            self._observe = jax.jit(
+                functools.partial(engine.observe_dict, config=cfg, pieces=pieces)
+            )
         self.state: Optional[EngineState] = None
         self._window_open = False
 
@@ -186,7 +252,7 @@ class Tetris(gym.Env):
 
     def _render_ansi(self) -> str:
         """Character rendering of the projected board (ref: envs/tetris.py:323-343)."""
-        board = np.asarray(engine.jit_observe(self.config)(self.state)["board"])
+        board = np.asarray(self._observe(self.state)["board"])
         chars = {0: ".", 1: "#"}
         lines = [
             "".join(chars.get(int(c), str(int(c))) for c in row) for row in board

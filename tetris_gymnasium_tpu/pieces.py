@@ -144,7 +144,7 @@ def piece_matrix(pieces: PieceSet, piece: jnp.ndarray, rotation: jnp.ndarray) ->
     vmapped gathers with per-env indices serialise on TPU, while the
     contraction is a tiny matmul over an embedded 448-byte literal.
     """
-    mats = jnp.asarray(pieces.matrices).astype(jnp.int32)  # [7, 4, 4, 4]
-    p_oh = (jnp.arange(NUM_PIECES, dtype=jnp.int32) == piece).astype(jnp.int32)
+    mats = jnp.asarray(pieces.matrices).astype(jnp.int32)  # [n, 4, S, S]
+    p_oh = (jnp.arange(mats.shape[0], dtype=jnp.int32) == piece).astype(jnp.int32)
     r_oh = (jnp.arange(4, dtype=jnp.int32) == rotation).astype(jnp.int32)
     return jnp.einsum("p,r,prij->ij", p_oh, r_oh, mats).astype(jnp.int8)
