@@ -1,0 +1,248 @@
+"""Bit-packed board kernels: the flagship engine's hot-path representation.
+
+Each padded board row is one ``uint32`` bitmask (bit ``w`` = cell ``(r, w)``
+occupied), so the whole 24x18 board is 24 words.  Collision tests become
+shift+AND, the hard-drop distance is a closed-form scan over a 24-lane "hit
+map", and a line clear is a popcount-style mask compare — replacing the
+round-1 one-hot einsum kernels whose ``[H, H, 4]`` int32 intermediates made
+the step HBM-bound (profiled: 2.4M steps/s; bit kernels remove ~95% of the
+bytes and ops).
+
+Semantics are bit-identical to :mod:`tetris_gymnasium_tpu.ops.board` (which
+itself is bit-exact with the reference functional core,
+ref: tetris_gymnasium/functional/core.py), including ``lax.dynamic_slice``
+start-clamping — asserted exhaustively in ``tests/test_bitboard.py``.
+
+Requires ``padded_width <= 32``; the flagship engine asserts this (wider
+boards are served by the einsum kernels / compat engine).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tetris_gymnasium_tpu.pieces import MAX_SIZE, PIECES, PieceSet
+
+# ---------------------------------------------------------------------------
+# Packing
+# ---------------------------------------------------------------------------
+
+
+def pack_board(board: jnp.ndarray) -> jnp.ndarray:
+    """Occupancy bitmask rows ``uint32[H]`` from an id board ``[H, W]``.
+
+    Bit ``w`` of row ``r`` is set iff ``board[r, w] > 0`` (bedrock counts as
+    occupied, exactly like the einsum kernels' ``board > 0`` occupancy).
+    """
+    W = board.shape[1]
+    weights = (jnp.uint32(1) << jnp.arange(W, dtype=jnp.uint32))[None, :]
+    occ = (board > 0).astype(jnp.uint32)
+    return jnp.sum(occ * weights, axis=1, dtype=jnp.uint32)
+
+
+def row_bits_table(pieces: PieceSet = PIECES) -> np.ndarray:
+    """Per-(piece, rotation) row bitmasks ``uint32[n, 4, MAX_SIZE]``.
+
+    ``table[p, r, i]`` has bit ``j`` set iff ``matrices[p, r, i, j]`` is
+    filled; a host constant, embedded as an XLA literal in step programs.
+    """
+    mats = np.asarray(pieces.matrices) > 0  # [n, 4, S, S]
+    weights = (1 << np.arange(mats.shape[-1], dtype=np.uint32))[None, None, None, :]
+    return np.sum(mats * weights, axis=-1).astype(np.uint32)
+
+
+def piece_row_bits(table, piece: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
+    """Fetch ``uint32[MAX_SIZE]`` row masks of ``piece`` at ``rotation``.
+
+    One-hot contraction over the 28-entry constant table (vmapped gathers
+    with per-env indices serialise on TPU; this is 28 multiply-adds).
+    """
+    table = jnp.asarray(table, dtype=jnp.uint32)  # [n, 4, S]
+    n = table.shape[0]
+    oh = (
+        (jnp.arange(n, dtype=jnp.int32) == piece)[:, None]
+        & (jnp.arange(4, dtype=jnp.int32) == rotation)[None, :]
+    ).astype(jnp.uint32)
+    return jnp.sum(table * oh[:, :, None], axis=(0, 1), dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Clamping (dynamic_slice parity with ops.board._clamp_start)
+# ---------------------------------------------------------------------------
+
+
+def _clamp_start(v: jnp.ndarray, limit: int, dim: int) -> jnp.ndarray:
+    v = jnp.where(v < 0, v + dim, v)
+    return jnp.clip(v, 0, limit)
+
+
+def shift_piece(rb: jnp.ndarray, x: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Piece row masks shifted to absolute board columns at window start x.
+
+    ``x`` is normalised exactly like a ``dynamic_slice`` start (negative
+    wraps by +width, then clamps to ``[0, width - MAX_SIZE]``).
+    """
+    xc = _clamp_start(x, width - MAX_SIZE, width).astype(jnp.uint32)
+    return rb << xc
+
+
+def hit_map(rows: jnp.ndarray, sp: jnp.ndarray) -> jnp.ndarray:
+    """Overlap flags at *every* vertical offset: ``hm[y] = any_i rows[y+i] & sp[i]``.
+
+    ``rows`` is ``uint32[H]``, ``sp`` the x-shifted piece rows ``uint32[S]``.
+    Rows beyond the bottom read as empty.  Built from S static row shifts —
+    no gathers, so a vmapped batch is pure elementwise VPU work.
+    """
+    H = rows.shape[0]
+    acc = rows & sp[0]
+    for i in range(1, MAX_SIZE):
+        shifted = jnp.concatenate([rows[i:], jnp.zeros((i,), dtype=jnp.uint32)])
+        acc = acc | (shifted & sp[i])
+    return acc != 0
+
+
+# ---------------------------------------------------------------------------
+# Kernels
+# ---------------------------------------------------------------------------
+
+
+def collision(rows: jnp.ndarray, rb: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, width: int) -> jnp.ndarray:
+    """True iff the piece overlaps occupancy at window (x, y).
+
+    Bit-exact with :func:`ops.board.collision` (dynamic_slice-clamped window
+    + overlap-any, ref: functional/core.py:86-100).  ``width`` is the padded
+    board width (static), needed for exact window-start clamping.
+    """
+    H = rows.shape[0]
+    sp = shift_piece(rb, x, width)
+    hm = hit_map(rows, sp)
+    yc = _clamp_start(y, H - MAX_SIZE, H)
+    return jnp.any(hm & (jnp.arange(H, dtype=jnp.int32) == yc))
+
+
+def collision_at(hm: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Overlap test from a precomputed hit map (shared across probes)."""
+    H = hm.shape[0]
+    yc = _clamp_start(y, H - MAX_SIZE, H)
+    return jnp.any(hm & (jnp.arange(H, dtype=jnp.int32) == yc))
+
+
+def drop_distance(rows: jnp.ndarray, rb: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Closed-form hard-drop distance; equals :func:`ops.board.drop_distance`.
+
+    The einsum version evaluates the collision predicate at offsets
+    ``clip(y+1+d, 0, H-S)`` for d in [0, H) and counts the free prefix
+    (ref semantics: functional/core.py:230-251's while_loop).  Here the same
+    count comes from the first set lane of the hit map at or after
+    ``clip(y+1)``: free_prefix = clip(first_hit - (y+1), 0, H).
+    """
+    sp = shift_piece(rb, x, width)
+    hm = hit_map(rows, sp)
+    return drop_from_map(hm, y)
+
+
+def drop_from_map(hm: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Drop distance from a precomputed hit map.
+
+    Scans window starts ``clip(y+1+d, 0, H-S)`` like the einsum kernel; the
+    free-prefix length is derived from the first set hit-map lane at or after
+    ``clip(y+1)``.  The ``first_hit == 0`` case (window pinned at the top by
+    a negative ``y+1``) hits immediately at d=0.
+    """
+    H = hm.shape[0]
+    idx = jnp.arange(H, dtype=jnp.int32)
+    z = jnp.clip(y + 1, 0, H - MAX_SIZE)
+    eligible = hm & (idx >= z) & (idx <= H - MAX_SIZE)
+    first_hit = jnp.min(jnp.where(eligible, idx, jnp.int32(2 * H)))
+    dist = jnp.clip(first_hit - (y + 1), 0, H)
+    return jnp.where(first_hit == 0, 0, dist)
+
+
+def project(rows: jnp.ndarray, rb: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, width: int) -> jnp.ndarray:
+    """OR the piece into the occupancy rows at the (clamped) window (x, y).
+
+    Occupancy-equivalent of :func:`ops.board.project` (which *adds* ids; for
+    the >0 occupancy view, add and OR agree).
+    """
+    H = rows.shape[0]
+    sp = shift_piece(rb, x, width)
+    yc = _clamp_start(y, H - MAX_SIZE, H)
+    idx = jnp.arange(H, dtype=jnp.int32)[:, None]  # [H, 1]
+    sel = (idx == yc + jnp.arange(MAX_SIZE, dtype=jnp.int32)[None, :]).astype(jnp.uint32)
+    add = jnp.sum(sel * sp[None, :], axis=1, dtype=jnp.uint32)
+    return rows | add
+
+
+def side_mask(width: int, padding: int) -> int:
+    """Bits of the left/right bedrock columns of a padded row."""
+    lo = (1 << padding) - 1
+    return lo | (lo << (padding + width))
+
+
+def play_mask(width: int, padding: int) -> int:
+    """Bits of the playfield columns of a padded row."""
+    return ((1 << width) - 1) << padding
+
+
+def filled_rows(rows: jnp.ndarray, height: int, width: int, padding: int) -> jnp.ndarray:
+    """``bool[height]``: playfield rows whose every cell is occupied."""
+    pm = jnp.uint32(play_mask(width, padding))
+    inner = rows[:height]
+    return (inner & pm) == pm
+
+
+def clear_lines(
+    rows: jnp.ndarray, height: int, width: int, padding: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Clear filled rows, compact downward; returns (rows', n, filled).
+
+    Same destination-permutation construction as :func:`ops.board.clear_lines`
+    (cleared rows become empty rows at the top), applied to the 24-word bit
+    image: the permutation matvec is ``[H, H] x [H]`` int32 — tiny.
+    ``filled`` is returned so callers can apply the *same* compaction to a
+    parallel id image without recomputing it.
+    """
+    H = rows.shape[0]
+    filled = filled_rows(rows, height, width, padding)
+    n = jnp.sum(filled.astype(jnp.int32))
+
+    keep = (~filled).astype(jnp.int32)
+    dest = jnp.cumsum(keep) - 1 + n  # [height]
+    perm = (
+        jnp.arange(height, dtype=jnp.int32)[:, None] == dest[None, :]
+    ).astype(jnp.int32) * keep[None, :]
+    inner = rows[:height].astype(jnp.int32)  # values < 2**31 since width<=31
+    compacted = jnp.sum(perm * inner[None, :], axis=1).astype(jnp.uint32)
+    compacted = compacted | jnp.uint32(side_mask(width, padding))
+    new_rows = jnp.concatenate([compacted, rows[height:]])
+    return new_rows, n, filled
+
+
+def compact_ids(inner: jnp.ndarray, filled: jnp.ndarray) -> jnp.ndarray:
+    """Apply the clear-compaction of ``filled`` to an id image ``[height, W]``.
+
+    Cleared destination rows become zeros (OOP reference behaviour,
+    ref: envs/tetris.py:481-512).
+    """
+    height = inner.shape[0]
+    n = jnp.sum(filled.astype(jnp.int32))
+    keep = (~filled).astype(jnp.int32)
+    dest = jnp.cumsum(keep) - 1 + n
+    perm = (
+        jnp.arange(height, dtype=jnp.int32)[:, None] == dest[None, :]
+    ).astype(jnp.int32) * keep[None, :]
+    return jnp.einsum("ds,sw->dw", perm, inner.astype(jnp.int32)).astype(inner.dtype)
+
+
+def empty_rows(height: int, width: int, padding: int) -> np.ndarray:
+    """Packed rows of an empty padded board (host constant)."""
+    side = side_mask(width, padding)
+    full = (1 << (width + 2 * padding)) - 1
+    rows = np.full((height + padding,), side, dtype=np.uint32)
+    rows[height:] = full
+    return rows
+
+
+ROW_BITS = row_bits_table(PIECES)
