@@ -27,11 +27,11 @@ import jax.numpy as jnp
 from flax import struct
 
 from tetris_gymnasium_tpu.config import ActionsMapping, EngineConfig, RewardsMapping
+from tetris_gymnasium_tpu.ops import bitboard as bb
+from tetris_gymnasium_tpu.ops import rng as orng
 from tetris_gymnasium_tpu.ops.board import (
-    clear_lines,
     collision,
     create_board,
-    drop_distance,
     project,
     spawn_x_classic,
 )
@@ -40,6 +40,19 @@ from tetris_gymnasium_tpu.utils.tree import select_tree
 
 ACTIONS = ActionsMapping()
 REWARDS = RewardsMapping()
+
+
+def piece_box(pieces: PieceSet, piece: jnp.ndarray) -> jnp.ndarray:
+    """Bounding-box side of ``piece`` — one-hot over the 7-entry constant
+    table (a vmapped scalar gather would serialise; this is 7 multiply-adds)."""
+    box = jnp.asarray(pieces.box, dtype=jnp.int32)
+    return jnp.sum(jnp.where(jnp.arange(box.shape[0]) == piece, box, 0))
+
+
+def piece_id(pieces: PieceSet, piece: jnp.ndarray) -> jnp.ndarray:
+    """Cell id of ``piece`` — one-hot over the constant id table."""
+    ids = jnp.asarray(pieces.ids, dtype=jnp.int32)
+    return jnp.sum(jnp.where(jnp.arange(ids.shape[0]) == piece, ids, 0)).astype(jnp.int8)
 
 
 @struct.dataclass
@@ -103,23 +116,35 @@ def _queue_draw(queue, bag, bag_index, key, config: EngineConfig):
 
 
 def init_state(key: jnp.ndarray, config: EngineConfig, pieces: PieceSet = PIECES) -> EngineState:
-    """Fresh episode state from one per-env PRNG key."""
+    """Fresh episode state from one per-env RNG state (``uint32[2]``).
+
+    ``key`` is the engine's counter-based RNG state (:mod:`ops.rng`); a
+    legacy ``jax.random.PRNGKey`` / ``fold_in`` product seeds it directly.
+    Runs on the auto-reset hot path, so draws are specialised at trace time:
+    with a bag randomizer and ``queue_size + 1`` pieces available in a fresh
+    bag, the draws are direct bag reads (no refill logic).
+    """
     n_pieces = int(pieces.ids.shape[0])
     pieces = pieces.jx()
-    carry_key, bag_key = jax.random.split(key)
-    bag = jax.random.permutation(bag_key, jnp.arange(n_pieces))
+    carry_key = jnp.asarray(key, dtype=jnp.uint32)
+    carry_key, bag = orng.shuffle(carry_key, n_pieces)
     bag_index = jnp.int32(0)
 
-    queue = jnp.zeros((config.queue_size,), dtype=jnp.int32)
-    # active + preview draws (static unroll; queue_size is config)
-    draw = _draw(config)
-    active, bag, bag_index, carry_key = draw(bag, bag_index, carry_key)
-    for i in range(config.queue_size):
-        p, bag, bag_index, carry_key = draw(bag, bag_index, carry_key)
-        queue = queue.at[i].set(p)
+    if config.queue_kind == "bag" and config.queue_size + 1 <= n_pieces:
+        # fresh bag covers active + preview: draws are static bag slots
+        active = bag[0]
+        queue = bag[1 : 1 + config.queue_size]
+        bag_index = jnp.int32(config.queue_size + 1)
+    else:
+        queue = jnp.zeros((config.queue_size,), dtype=jnp.int32)
+        draw = _draw(config)
+        active, bag, bag_index, carry_key = draw(bag, bag_index, carry_key)
+        for i in range(config.queue_size):
+            p, bag, bag_index, carry_key = draw(bag, bag_index, carry_key)
+            queue = queue.at[i].set(p)
 
     board = create_board(config.height, config.width, config.padding)
-    sx = spawn_x_classic(config.padded_width, pieces.box[active])
+    sx = spawn_x_classic(config.padded_width, piece_box(pieces, active))
     hs = config.holder_size
     return EngineState(
         key=carry_key,
@@ -220,29 +245,54 @@ def observe_board(state: EngineState, config: EngineConfig, pieces: PieceSet = P
 # ---------------------------------------------------------------------------
 
 
-def _commit(state: EngineState, config: EngineConfig, pieces: PieceSet, rewards: RewardsMapping):
+def _commit(
+    state: EngineState,
+    rows: jnp.ndarray,
+    hm: jnp.ndarray,
+    config: EngineConfig,
+    pieces: PieceSet,
+    rtab,
+    rewards: RewardsMapping,
+):
     """Drop-lock-clear-respawn; OOP commit semantics (ref: envs/tetris.py:450-479).
 
-    Returns (new_state, reward): if the piece already overlaps (post-swap
-    game over), nothing is placed and the game ends; otherwise the piece hard
-    drops from its position, locks, filled rows clear with
-    ``(lines**2)*width + alife`` reward, the next piece spawns and a spawn
-    collision ends the game with the game_over reward.
+    ``rows`` is the bit-packed occupancy of ``state.board`` and ``hm`` the
+    active piece's hit map at its current column (shared with the caller's
+    gravity check).  Returns (new_state, reward): if the piece already
+    overlaps (post-swap game over), nothing is placed and the game ends;
+    otherwise the piece hard drops from its position, locks, filled rows
+    clear with ``(lines**2)*width + alife`` reward, the next piece spawns and
+    a spawn collision ends the game with the game_over reward.
     """
     pieces = pieces.jx()
+    pw = config.padded_width
+    size = int(rtab.shape[-1])
     mat = piece_matrix(pieces, state.piece, state.rotation)
-    pre_over = collision(state.board, mat, state.x, state.y)
+    rb = bb.piece_row_bits(rtab, state.piece, state.rotation)
+    pre_over = bb.collision_at(hm, state.y, size)
 
-    dist = drop_distance(state.board, mat, state.x, state.y)
+    dist = bb.drop_from_map(hm, state.y, size)
     y_f = state.y + dist
-    stamped = project(state.board, mat, state.x, y_f, pieces.ids[state.piece])
-    cleared, lines = clear_lines(stamped, config.height, config.width, config.padding)
+    stamped = project(state.board, mat, state.x, y_f, piece_id(pieces, state.piece))
+    stamped_rows = bb.project(rows, rb, state.x, y_f, pw)
+    cleared_rows, lines, filled = bb.clear_lines(
+        stamped_rows, config.height, config.width, config.padding
+    )
+    # re-pad with fresh bedrock exactly like ops.board.clear_lines (projection
+    # may have added into the pad region; the clear resets it)
+    pad = config.padding
+    cleared = jnp.pad(
+        bb.compact_ids(stamped[: config.height, pad:-pad], filled),
+        ((0, pad), (pad, pad)),
+        constant_values=jnp.int8(1),
+    )
 
     new_piece, queue, bag, bag_index, key = _queue_draw(
         state.queue, state.bag, state.bag_index, state.key, config
     )
-    sx = spawn_x_classic(config.padded_width, pieces.box[new_piece])
-    spawn_over = collision(cleared, pieces.matrices[new_piece, 0], sx, jnp.int32(0))
+    sx = spawn_x_classic(config.padded_width, piece_box(pieces, new_piece))
+    rb_new = bb.piece_row_bits(rtab, new_piece, jnp.int32(0))
+    spawn_over = bb.collision(cleared_rows, rb_new, sx, jnp.int32(0), pw)
 
     line_reward = (lines * lines * config.width).astype(jnp.float32)
     reward = jnp.where(
@@ -299,7 +349,7 @@ def _swap(state: EngineState, config: EngineConfig, pieces: PieceSet):
     new_rot = jnp.where(full, out_rot, 0)
     # reset position, centred on the incoming piece's box (rotation-invariant
     # since boxes are square; ref: envs/tetris.py:536-541)
-    sx = spawn_x_classic(config.padded_width, pieces.box[new_piece])
+    sx = spawn_x_classic(config.padded_width, piece_box(pieces, new_piece))
 
     return state.replace(
         key=jnp.where(full, state.key, key2),
@@ -317,16 +367,23 @@ def _swap(state: EngineState, config: EngineConfig, pieces: PieceSet):
     )
 
 
-def _apply_action(state: EngineState, action, config: EngineConfig, pieces: PieceSet):
-    """Phase 1 of a step: the action's direct effect (before gravity/commit)."""
-    board = state.board
-    mat = piece_matrix(pieces, state.piece, state.rotation)
+def _apply_action(state: EngineState, rows, action, config: EngineConfig, pieces: PieceSet, rtab):
+    """Phase 1 of a step: the action's direct effect (before gravity/commit).
+
+    All collision probes run on the bit-packed ``rows`` (shift+AND hit maps,
+    :mod:`ops.bitboard`); the board itself is untouched in this phase.
+    """
+    pw = config.padded_width
+    size = int(rtab.shape[-1])
+    rb = bb.piece_row_bits(rtab, state.piece, state.rotation)
 
     # translations
     dx = jnp.where(action == ACTIONS.move_left, -1, jnp.where(action == ACTIONS.move_right, 1, 0))
     x_cand = state.x + dx
-    x = jnp.where((dx != 0) & ~collision(board, mat, x_cand, state.y), x_cand, state.x)
-    down = (action == ACTIONS.move_down) & ~collision(board, mat, x, state.y + 1)
+    hm_cand = bb.hit_map(rows, bb.shift_piece(rb, x_cand, pw))
+    x = jnp.where((dx != 0) & ~bb.collision_at(hm_cand, state.y, size), x_cand, state.x)
+    hm_x = bb.hit_map(rows, bb.shift_piece(rb, x, pw))
+    down = (action == ACTIONS.move_down) & ~bb.collision_at(hm_x, state.y + 1, size)
     y = state.y + down.astype(jnp.int32)
 
     # rotations (checked at the updated position)
@@ -336,8 +393,8 @@ def _apply_action(state: EngineState, action, config: EngineConfig, pieces: Piec
         jnp.where(action == ACTIONS.rotate_counterclockwise, -1, 0),
     )
     rot_cand = jnp.mod(state.rotation + rot_dir, 4)
-    mat_cand = piece_matrix(pieces, state.piece, rot_cand)
-    rot_ok = ~collision(board, mat_cand, x, y)
+    rb_cand = bb.piece_row_bits(rtab, state.piece, rot_cand)
+    rot_ok = ~bb.collision(rows, rb_cand, x, y, pw)
     rotation = jnp.where((rot_dir != 0) & rot_ok, rot_cand, state.rotation)
 
     moved = state.replace(x=x, y=y, rotation=rotation)
@@ -366,12 +423,21 @@ def step(
     fresh one (new PRNG stream split from the old); ``done`` still reports the
     termination so trajectory buffers see the episode boundary.
     """
+    if config.padded_width > 32:
+        raise NotImplementedError(
+            "flagship engine packs board rows into uint32: width + 2*padding "
+            f"must be <= 32 (got {config.padded_width}); use the compat "
+            "engine (core.fn_env) for wider boards"
+        )
     obs_fn = obs_fn or observe_dict
-    s1 = _apply_action(state, action, config, pieces)
+    rtab = bb.row_bits_table(pieces)
+    rows = bb.pack_board(state.board)
+    s1 = _apply_action(state, rows, action, config, pieces, rtab)
 
     is_drop = action == ACTIONS.hard_drop
-    mat1 = piece_matrix(pieces, s1.piece, s1.rotation)
-    grav_free = ~collision(s1.board, mat1, s1.x, s1.y + 1)
+    rb1 = bb.piece_row_bits(rtab, s1.piece, s1.rotation)
+    hm1 = bb.hit_map(rows, bb.shift_piece(rb1, s1.x, config.padded_width))
+    grav_free = ~bb.collision_at(hm1, s1.y + 1, int(rtab.shape[-1]))
 
     if config.gravity_enabled:
         fall = ~is_drop & grav_free
@@ -381,7 +447,7 @@ def step(
         commit_now = is_drop
 
     s1 = s1.replace(y=s1.y + fall.astype(jnp.int32))
-    committed, commit_reward, lines = _commit(s1, config, pieces, rewards)
+    committed, commit_reward, lines = _commit(s1, rows, hm1, config, pieces, rtab, rewards)
 
     stepped = select_tree(commit_now, committed, s1)
     reward = jnp.where(commit_now, commit_reward, jnp.float32(0))
@@ -396,8 +462,8 @@ def step(
 
     done = stepped.game_over
     if config.auto_reset:
-        reset_key, carry = jax.random.split(stepped.key)
-        fresh = init_state(reset_key, config, pieces).replace(key=carry)
+        # the counter RNG just keeps streaming: init_state's draws advance it
+        fresh = init_state(stepped.key, config, pieces)
         stepped = select_tree(done, fresh, stepped)
 
     obs = obs_fn(stepped, config, pieces)

@@ -82,9 +82,12 @@ def shift_piece(rb: jnp.ndarray, x: jnp.ndarray, width: int) -> jnp.ndarray:
     """Piece row masks shifted to absolute board columns at window start x.
 
     ``x`` is normalised exactly like a ``dynamic_slice`` start (negative
-    wraps by +width, then clamps to ``[0, width - MAX_SIZE]``).
+    wraps by +width, then clamps to ``[0, width - S]``); the piece box side
+    ``S`` is ``rb.shape[0]`` (4 for the standard set, smaller for custom
+    sets whose matrices are padded to a smaller square).
     """
-    xc = _clamp_start(x, width - MAX_SIZE, width).astype(jnp.uint32)
+    size = rb.shape[0]
+    xc = _clamp_start(x, width - size, width).astype(jnp.uint32)
     return rb << xc
 
 
@@ -95,9 +98,8 @@ def hit_map(rows: jnp.ndarray, sp: jnp.ndarray) -> jnp.ndarray:
     Rows beyond the bottom read as empty.  Built from S static row shifts —
     no gathers, so a vmapped batch is pure elementwise VPU work.
     """
-    H = rows.shape[0]
     acc = rows & sp[0]
-    for i in range(1, MAX_SIZE):
+    for i in range(1, sp.shape[0]):
         shifted = jnp.concatenate([rows[i:], jnp.zeros((i,), dtype=jnp.uint32)])
         acc = acc | (shifted & sp[i])
     return acc != 0
@@ -118,14 +120,16 @@ def collision(rows: jnp.ndarray, rb: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
     H = rows.shape[0]
     sp = shift_piece(rb, x, width)
     hm = hit_map(rows, sp)
-    yc = _clamp_start(y, H - MAX_SIZE, H)
-    return jnp.any(hm & (jnp.arange(H, dtype=jnp.int32) == yc))
+    return collision_at(hm, y, rb.shape[0])
 
 
-def collision_at(hm: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Overlap test from a precomputed hit map (shared across probes)."""
+def collision_at(hm: jnp.ndarray, y: jnp.ndarray, size: int = MAX_SIZE) -> jnp.ndarray:
+    """Overlap test from a precomputed hit map (shared across probes).
+
+    ``size`` is the piece box side used for window-start clamping.
+    """
     H = hm.shape[0]
-    yc = _clamp_start(y, H - MAX_SIZE, H)
+    yc = _clamp_start(y, H - size, H)
     return jnp.any(hm & (jnp.arange(H, dtype=jnp.int32) == yc))
 
 
@@ -140,10 +144,10 @@ def drop_distance(rows: jnp.ndarray, rb: jnp.ndarray, x: jnp.ndarray, y: jnp.nda
     """
     sp = shift_piece(rb, x, width)
     hm = hit_map(rows, sp)
-    return drop_from_map(hm, y)
+    return drop_from_map(hm, y, rb.shape[0])
 
 
-def drop_from_map(hm: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def drop_from_map(hm: jnp.ndarray, y: jnp.ndarray, size: int = MAX_SIZE) -> jnp.ndarray:
     """Drop distance from a precomputed hit map.
 
     Scans window starts ``clip(y+1+d, 0, H-S)`` like the einsum kernel; the
@@ -153,8 +157,8 @@ def drop_from_map(hm: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     """
     H = hm.shape[0]
     idx = jnp.arange(H, dtype=jnp.int32)
-    z = jnp.clip(y + 1, 0, H - MAX_SIZE)
-    eligible = hm & (idx >= z) & (idx <= H - MAX_SIZE)
+    z = jnp.clip(y + 1, 0, H - size)
+    eligible = hm & (idx >= z) & (idx <= H - size)
     first_hit = jnp.min(jnp.where(eligible, idx, jnp.int32(2 * H)))
     dist = jnp.clip(first_hit - (y + 1), 0, H)
     return jnp.where(first_hit == 0, 0, dist)
@@ -167,10 +171,11 @@ def project(rows: jnp.ndarray, rb: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, 
     the >0 occupancy view, add and OR agree).
     """
     H = rows.shape[0]
+    size = rb.shape[0]
     sp = shift_piece(rb, x, width)
-    yc = _clamp_start(y, H - MAX_SIZE, H)
+    yc = _clamp_start(y, H - size, H)
     idx = jnp.arange(H, dtype=jnp.int32)[:, None]  # [H, 1]
-    sel = (idx == yc + jnp.arange(MAX_SIZE, dtype=jnp.int32)[None, :]).astype(jnp.uint32)
+    sel = (idx == yc + jnp.arange(size, dtype=jnp.int32)[None, :]).astype(jnp.uint32)
     add = jnp.sum(sel * sp[None, :], axis=1, dtype=jnp.uint32)
     return rows | add
 
