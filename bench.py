@@ -1,16 +1,31 @@
-"""Headline benchmark: batched jit env-steps/s on one chip.
+"""Headline benchmark: batched jit env-steps/s on one chip, plus the
+BASELINE.md config-3/4 workloads.
 
-Measures the flagship engine's batched step throughput (the metric named in
-BASELINE.json: "env-steps/s per chip (batched jit step)").  The whole rollout
-is one XLA program: per-step random actions are drawn on-device and the host
-is touched only for the final scalar, so the number is pure device throughput.
+Measured programs (all single-XLA-program rollouts — per-step actions are
+drawn/computed on device and the host is touched only for final scalars):
 
-The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is reported
-against the BASELINE.json north-star target of 50M env-steps/s per host.
+  1. **env_steps_per_sec** (headline; BASELINE config 2/5 gate) — the turbo
+     engine's batched step under random actions with auto-reset.  The turbo
+     engine (:mod:`tetris_gymnasium_tpu.core.turbo`) is the flagship hot
+     path: batch-minor bit-packed boards, full-lane VPU work, trajectory-
+     equivalent to the flagship per-env engine (tests/test_turbo.py).
+  2. **actor_steps_per_sec** (BASELINE config 3) — obs-fused actor feed:
+     board observation -> QNetworkCNN forward (bf16) -> greedy action ->
+     step, 8192 envs.  Replaces the reference's host-side
+     RgbObservation/resize/grayscale/framestack + torch pipeline
+     (ref: examples/train_cnn.py:127-147, 285-296).
+  3. **grouped_placements_per_sec** (BASELINE config 4) — grouped placement
+     enumeration + step: all ``width*4`` candidate placements evaluated as a
+     vmapped axis per env per step (replaces the reference's 40 Python drop
+     simulations per step, ref: wrappers/grouped.py:124-207).
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is
+reported against the BASELINE.json north-star target of 50M env-steps/s per
+host.
 
 Prints ONE JSON line:
     {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
-     "vs_baseline": N / 50e6}
+     "vs_baseline": N / 50e6, "extras": {...}}
 """
 import functools
 import json
@@ -21,29 +36,37 @@ import jax
 import jax.numpy as jnp
 
 from tetris_gymnasium_tpu.config import EngineConfig
-from tetris_gymnasium_tpu.core import engine
+from tetris_gymnasium_tpu.core import grouped, turbo
+from tetris_gymnasium_tpu.models import QNetworkCNN
+from tetris_gymnasium_tpu.ops import rng as orng
 from tetris_gymnasium_tpu.parallel.mesh import batch_keys
 from tetris_gymnasium_tpu.utils.compilation import enable_persistent_cache
 
 NORTH_STAR = 50e6  # env-steps/s per host (BASELINE.json north_star)
 
 
-def build_rollout(config: EngineConfig, horizon: int):
-    """One donating XLA program: `horizon` random-policy steps over the batch."""
+def _action_key(n_envs: int, word: int) -> jnp.ndarray:
+    """Per-env counter-RNG states ``uint32[2, B]`` for on-device actions."""
+    return jnp.stack(
+        [
+            jnp.full((n_envs,), word, dtype=jnp.uint32),
+            jnp.arange(n_envs, dtype=jnp.uint32),
+        ]
+    )
+
+
+def bench_turbo_step(config: EngineConfig, n_envs: int, horizon: int, repeats: int):
+    """Headline: turbo batched step, random actions, auto-reset."""
+    keys = batch_keys(jax.random.PRNGKey(0), n_envs)
+    states = jax.jit(functools.partial(turbo.init, config=config))(keys)
 
     def rollout(states, key):
         def one(carry, _):
             s, k, tot_r, tot_d = carry
-            k, sub = jax.random.split(k)
-            acts = jax.random.randint(sub, (s.board.shape[0],), 0, 8)
-            s2, _, r, d, _ = jax.vmap(
-                functools.partial(
-                    engine.step, config=config, obs_fn=lambda st, c, p: ()
-                )
-            )(s, acts)
+            k, a = orng.randint(k, 8)
+            s2, _, r, d, _ = turbo.step(s, a, config=config)
             # Accumulate stats in the carry (scalar adds, VMEM-resident) so
-            # reward/done are provably computed without forcing per-step HBM
-            # writes of stacked outputs.
+            # reward/done are provably computed without per-step HBM writes.
             return (s2, k, tot_r + jnp.sum(r), tot_d + jnp.sum(d)), None
 
         (final, _, tot_r, tot_d), _ = jax.lax.scan(
@@ -51,39 +74,111 @@ def build_rollout(config: EngineConfig, horizon: int):
         )
         return final, tot_r, tot_d
 
-    return jax.jit(rollout, donate_argnums=(0,))
-
-
-def main():
-    enable_persistent_cache()
-    n_envs = int(os.environ.get("BENCH_ENVS", 16384))
-    horizon = int(os.environ.get("BENCH_HORIZON", 256))
-    repeats = int(os.environ.get("BENCH_REPEATS", 4))
-
-    config = EngineConfig(auto_reset=True)
-    keys = batch_keys(jax.random.PRNGKey(0), n_envs)
-    states = jax.jit(jax.vmap(functools.partial(engine.init_state, config=config)))(
-        keys
-    )
-
-    rollout = build_rollout(config, horizon)
+    rollout = jax.jit(rollout, donate_argnums=(0,))
 
     # Warm-up (compile + first run).  Fence with a value fetch, not
     # block_until_ready: through a remote-execution tunnel the latter can
     # return before compile/execution finish, leaking warm-up cost into the
     # timed window.
-    states, tot_r, tot_d = rollout(states, jax.random.PRNGKey(1))
+    states, _, tot_d = rollout(states, _action_key(n_envs, 7))
     int(tot_d)
 
     t0 = time.perf_counter()
     dones = 0
     for i in range(repeats):
-        states, tot_r, tot_d = rollout(states, jax.random.PRNGKey(2 + i))
+        states, _, tot_d = rollout(states, _action_key(n_envs, 1000 + i))
         dones += int(tot_d)
     elapsed = time.perf_counter() - t0
     assert dones > 0, "no episode ever terminated — the rollout is not playing"
+    return n_envs * horizon * repeats / elapsed
 
-    steps_per_sec = n_envs * horizon * repeats / elapsed
+
+def bench_actor_feed(config: EngineConfig, n_envs: int, horizon: int, repeats: int):
+    """Config 3: board obs -> CNN Q-net forward -> greedy action -> step."""
+    net = QNetworkCNN()
+    keys = batch_keys(jax.random.PRNGKey(1), n_envs)
+    states = jax.jit(functools.partial(turbo.init, config=config))(keys)
+    obs0 = turbo.observe_board(states, config)
+    params = net.init(jax.random.PRNGKey(2), obs0[:2])
+
+    def rollout(states, params):
+        def one(carry, _):
+            s, tot_r, tot_d = carry
+            obs = turbo.observe_board(s, config)
+            q = net.apply(params, obs)  # [B, 8]
+            a = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            s2, _, r, d, _ = turbo.step(s, a, config=config)
+            return (s2, tot_r + jnp.sum(r), tot_d + jnp.sum(d)), None
+
+        (final, tot_r, tot_d), _ = jax.lax.scan(
+            one, (states, jnp.float32(0), jnp.int32(0)), None, length=horizon
+        )
+        return final, tot_r, tot_d
+
+    rollout = jax.jit(rollout, donate_argnums=(0,))
+    states, _, tot_d = rollout(states, params)
+    int(tot_d)
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        states, _, tot_d = rollout(states, params)
+    int(tot_d)  # fence INSIDE the timed window (dispatch is async)
+    elapsed = time.perf_counter() - t0
+    return n_envs * horizon * repeats / elapsed
+
+
+def bench_grouped(config: EngineConfig, n_envs: int, horizon: int, repeats: int):
+    """Config 4: grouped placement enumeration/step, masked-random actions."""
+    n_actions = config.width * 4
+    keys = batch_keys(jax.random.PRNGKey(3), n_envs)
+    gstates, _ = grouped.batched_reset(keys, config=config, mode="features")
+
+    def rollout(gstates, key):
+        def one(carry, _):
+            gs, k, tot_r = carry
+            # masked-random placement: uniform scores, illegal masked out
+            k, u = orng.uniform(k, shape=(n_actions,))
+            scores = gs.mask * (1.0 + u[None, :])
+            a = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            gs2, _, r, d, _ = grouped.batched_step(gs, a, config=config, mode="features")
+            return (gs2, k, tot_r + jnp.sum(r)), None
+
+        (final, _, tot_r), _ = jax.lax.scan(
+            one, (gstates, key, jnp.float32(0)), None, length=horizon
+        )
+        return final, tot_r
+
+    rollout = jax.jit(rollout, donate_argnums=(0,))
+    gstates, tot_r = rollout(gstates, orng.seed_key(11))
+    float(tot_r)
+
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        gstates, tot_r = rollout(gstates, orng.seed_key(12 + i))
+    float(tot_r)  # fence INSIDE the timed window (dispatch is async)
+    elapsed = time.perf_counter() - t0
+    return n_envs * n_actions * horizon * repeats / elapsed
+
+
+def main():
+    enable_persistent_cache()
+    n_envs = int(os.environ.get("BENCH_ENVS", 65536))
+    horizon = int(os.environ.get("BENCH_HORIZON", 256))
+    repeats = int(os.environ.get("BENCH_REPEATS", 4))
+    full = os.environ.get("BENCH_FULL", "1") != "0"
+
+    config = EngineConfig(auto_reset=True)
+    steps_per_sec = bench_turbo_step(config, n_envs, horizon, repeats)
+
+    extras = {}
+    if full:
+        extras["actor_steps_per_sec"] = round(
+            bench_actor_feed(config, 8192, 64, max(repeats // 2, 1))
+        )
+        extras["grouped_placements_per_sec"] = round(
+            bench_grouped(config, 4096, 32, max(repeats // 2, 1))
+        )
+
     print(
         json.dumps(
             {
@@ -91,6 +186,7 @@ def main():
                 "value": round(steps_per_sec),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / NORTH_STAR, 4),
+                "extras": extras,
             }
         )
     )

@@ -44,6 +44,10 @@ def bag_draw(bag, bag_index, key):
     shuffle must be cheap — Fisher–Yates over one-hot swaps, ~150 VPU ops,
     vs a threefry ``jax.random.permutation`` which dominated round-1 step
     time.  The RNG state only advances when a refill actually happens.
+
+    Shape-polymorphic: scalar-env form is ``bag [n]``, ``bag_index []``,
+    ``key [2]``; the turbo engine calls it batch-minor with ``bag [n, B]``,
+    ``bag_index [B]``, ``key [2, B]`` and gets the per-env-identical draws.
     """
     from tetris_gymnasium_tpu.ops import rng as orng
 
@@ -52,7 +56,8 @@ def bag_draw(bag, bag_index, key):
     new_key, fresh = orng.shuffle(key, n)
     bag = jnp.where(need, fresh, bag)
     idx = jnp.where(need, 0, bag_index)
-    piece = jnp.sum(jnp.where(jnp.arange(n) == idx, bag, 0))
+    lane = jnp.arange(n, dtype=jnp.int32).reshape((n,) + (1,) * jnp.ndim(idx))
+    piece = jnp.sum(jnp.where(lane == idx, bag, 0), axis=0)
     key = jnp.where(need, new_key, key)
     return piece, bag, idx + 1, key
 
@@ -76,8 +81,30 @@ def register_randomizer(name: str, draw: DrawFn) -> None:
     ``Tetris(randomizer=<Randomizer with engine_kind=name>)``) selects it.
     The function must be trace-pure: no Python state, same signature as
     :func:`bag_draw`.
+
+    Binding is at *trace time*: jitted engine programs are cached per
+    ``EngineConfig``, so a program traced before a re-registration keeps the
+    draw function it was traced with.  Re-registering an existing name warns
+    for that reason (register custom strategies before stepping any env that
+    uses them, and unregister in tests via :func:`unregister_randomizer`).
     """
+    if name in _REGISTRY:
+        import warnings
+
+        warnings.warn(
+            f"re-registering randomizer {name!r}: engine programs already "
+            "traced with the previous strategy keep it (trace-time binding)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     _REGISTRY[name] = draw
+
+
+def unregister_randomizer(name: str) -> None:
+    """Remove a registered strategy (no-op for unknown names; the built-in
+    ``bag``/``uniform`` strategies cannot be removed)."""
+    if name not in ("bag", "uniform"):
+        _REGISTRY.pop(name, None)
 
 
 def get_draw_fn(name: str) -> DrawFn:

@@ -87,14 +87,22 @@ def shuffle(key: jnp.ndarray, n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Fisher–Yates, statically unrolled (n-1 draws), with the dynamic-index
     swap expressed as one-hot arithmetic so the whole shuffle is branch-free
     vector code under ``vmap`` (no scatters).
+
+    Shape-polymorphic: ``key`` may carry trailing batch dims — ``uint32[2]``
+    returns ``int32[n]``; ``uint32[2, B]`` returns ``int32[n, B]`` with per-env
+    draw sequences identical to ``n`` independent scalar shuffles (the turbo
+    engine's batch-minor layout relies on this for trajectory equivalence
+    with the per-env flagship engine).
     """
-    perm = jnp.arange(n, dtype=jnp.int32)
-    idx = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.asarray(key, dtype=jnp.uint32)
+    batch = key.shape[1:]
+    idx = jnp.arange(n, dtype=jnp.int32).reshape((n,) + (1,) * len(batch))
+    perm = jnp.broadcast_to(idx, (n,) + batch)
     for i in range(n - 1, 0, -1):
         key, j = randint(key, i + 1)
         vi = perm[i]
         oh_j = idx == j
-        vj = jnp.sum(jnp.where(oh_j, perm, 0))
+        vj = jnp.sum(jnp.where(oh_j, perm, 0), axis=0)
         perm = jnp.where(oh_j, vi, perm)
         perm = perm.at[i].set(vj)
     return key, perm
