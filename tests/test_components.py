@@ -138,11 +138,18 @@ class TestDrawRegistry:
         def always_o(bag, bag_index, key):
             return jnp.int32(1), bag, bag_index, key  # piece 1 = O
 
+        from tetris_gymnasium_tpu.components.tetromino_randomizer import (
+            unregister_randomizer,
+        )
+
         register_randomizer("always_o", always_o)
-        config = EngineConfig(queue_kind="always_o", queue_size=2)
-        state = engine.init_state(jax.random.PRNGKey(0), config)
-        assert int(state.piece) == 1
-        assert np.all(np.asarray(state.queue) == 1)
+        try:
+            config = EngineConfig(queue_kind="always_o", queue_size=2)
+            state = engine.init_state(jax.random.PRNGKey(0), config)
+            assert int(state.piece) == 1
+            assert np.all(np.asarray(state.queue) == 1)
+        finally:
+            unregister_randomizer("always_o")
 
 
 class TestCustomPieces:

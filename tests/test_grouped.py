@@ -162,3 +162,77 @@ def test_batched_grouped():
     gs2, obs2, rew, done, info = grouped.batched_step(gs, acts, config=CFG)
     assert rew.shape == (B,)
     assert info["action_mask"].shape == (B, 40)
+
+
+# -- wrapper-level tests (ref: tests/test_grouped_env/actions/) ---------------
+
+
+def _wrapped_env_with_fixture(inner_wrapper_types=()):
+    """A GroupedActionsObservations wrapper forced into the fixture state
+    (vertical I on the half-filled board), like the reference's
+    `tetris_env_grouped` fixture (ref: tests/test_grouped_env/conftest.py).
+    ``inner_wrapper_types`` are observation-wrapper classes applied around
+    the *same* base env (the reference passes wrapper instances of the
+    wrapped env, ref: train_lin_grouped.py:130-153)."""
+    import gymnasium as gym
+
+    import tetris_gymnasium_tpu.envs  # noqa: F401
+    from tetris_gymnasium_tpu.wrappers import GroupedActionsObservations
+
+    env = gym.make("tetris_gymnasium_tpu/Tetris", gravity=False)
+    observation_wrappers = [wt(env) for wt in inner_wrapper_types] or None
+    w = GroupedActionsObservations(env, observation_wrappers=observation_wrappers)
+    w.reset(seed=0)
+    forced = w.env.unwrapped.state.replace(
+        board=jnp.asarray(example_board()), piece=jnp.int32(0), rotation=jnp.int32(1)
+    )
+    w.env.unwrapped.state = forced
+    _, mask = w._observe(forced)
+    w._gstate = grouped.GroupedState(env=forced, mask=mask)
+    w.legal_actions_mask = np.asarray(mask)
+    return w
+
+
+def test_wrapper_step_matches_golden():
+    """`step(5*4+1)` leaves the golden board on the base env (wrapper-level
+    mirror of ref test_grouped_actions.py:4-8)."""
+    if not os.path.exists(GOLDEN_CSV):
+        pytest.skip("reference golden missing")
+    golden = np.genfromtxt(GOLDEN_CSV, delimiter=",").astype(np.uint8)
+    want = golden.copy()
+    want[:H, P:-P][golden[:H, P:-P] == 1] = 2  # fixture paints 1; engine ids
+
+    w = _wrapped_env_with_fixture()
+    obs, reward, done, truncated, info = w.step(5 * 4 + 1)
+    assert not done
+    got = np.asarray(w.env.unwrapped.state.board)
+    assert np.array_equal(got, want), f"got:\n{got}\nwant:\n{want}"
+    assert "board" in info  # post-step board info (ref: grouped.py:260-267)
+    assert obs.shape == (40, H + P, W + 2 * P)
+    w.env.close()
+
+
+def test_wrapper_info_board_through_observation_wrappers():
+    """info["board"] carries the post-step obs through the inner wrappers
+    (feature vectors feed the replay buffer, ref: train_lin_grouped.py:344-351)."""
+    from tetris_gymnasium_tpu.wrappers import FeatureVectorObservation
+
+    w = _wrapped_env_with_fixture(inner_wrapper_types=[FeatureVectorObservation])
+    # reset path sets info["board"] too
+    obs0, info0 = w.reset(seed=1)
+    assert info0["board"].shape == (W + 3,)
+
+    legal = int(np.where(w.legal_actions_mask == 1)[0][0])
+    obs, reward, done, truncated, info = w.step(legal)
+    assert info["board"].shape == (W + 3,)
+    # the feature vector reflects the post-step stack (nonzero after a lock)
+    assert info["board"].sum() > 0
+    w.env.close()
+
+
+def test_wrapper_info_board_absent_on_illegal():
+    w = _wrapped_env_with_fixture()
+    illegal = int(np.where(w.legal_actions_mask == 0)[0][0])
+    obs, reward, done, truncated, info = w.step(illegal)
+    assert done and "board" not in info
+    w.env.close()

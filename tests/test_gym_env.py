@@ -84,10 +84,43 @@ def test_render_rgb_array(env):
 
 
 def test_ansi_render():
+    """Cropped, id-charactered ANSI format (ref: envs/tetris.py:352-360)."""
     env = gym.make("tetris_gymnasium_tpu/Tetris", render_mode="ansi")
     env.reset(seed=0)
     text = env.render()
-    assert isinstance(text, str) and "#" in text
+    lines = text.split("\n")
+    cfg = env.unwrapped.config
+    assert len(lines) == cfg.height
+    assert all(len(line) == cfg.width for line in lines)
+    # padding is cropped: no bedrock characters, only ids and empties
+    assert set("".join(lines)) <= set(".2345678")
+    env.close()
+
+
+def test_ansi_render_matches_reference():
+    """Snapshot parity: identical state renders the identical string."""
+    import copy as _copy
+
+    from tetris_gymnasium.envs.tetris import Tetris as RefTetris
+
+    env = gym.make("tetris_gymnasium_tpu/Tetris", render_mode="ansi")
+    env.reset(seed=3)
+    for a in [0, 3, 2, 5, 1, 4, 2, 5]:  # a few moves/rotations/drops
+        env.step(a)
+    state = env.unwrapped.state
+
+    ref = RefTetris(render_mode="ansi")
+    ref.reset(seed=0)
+    # Force the reference env into the exact same (board, piece, pose).
+    ref.board = np.asarray(state.board, dtype=np.uint8).copy()
+    piece = int(state.piece)
+    tet = _copy.deepcopy(ref.tetrominoes[piece])
+    for _ in range(int(state.rotation) % 4):
+        tet = ref.rotate(tet, True)
+    ref.active_tetromino = tet
+    ref.x, ref.y = int(state.x), int(state.y)
+
+    assert env.render() == ref.render()
     env.close()
 
 

@@ -22,6 +22,7 @@ from tetris_gymnasium_tpu.components.tetromino_randomizer import (
     bag_draw,
     get_draw_fn,
     register_randomizer,
+    unregister_randomizer,
     uniform_draw,
 )
 
@@ -39,5 +40,6 @@ __all__ = [
     "bag_draw",
     "uniform_draw",
     "register_randomizer",
+    "unregister_randomizer",
     "get_draw_fn",
 ]

@@ -88,15 +88,35 @@ class Tetris(gym.Env):
         """
         if queue is not None:
             queue_size = queue.size
-            if randomizer is None:
+            # The injected queue's own randomizer drives piece draws, even if
+            # a separate `randomizer` was also passed (ref: envs/tetris.py
+            # constructor — the queue owns its randomizer).
+            if queue.randomizer is not None:
                 randomizer = queue.randomizer
         if holder is not None:
             holder_size = holder.size
         if randomizer is None:
             randomizer = "bag"
-        queue_kind = (
-            randomizer if isinstance(randomizer, str) else randomizer.engine_kind
-        )
+        if isinstance(randomizer, str):
+            queue_kind = randomizer
+        else:
+            if isinstance(randomizer, Randomizer) and not any(
+                "engine_kind" in vars(klass)
+                for klass in type(randomizer).__mro__[:-1]
+                if klass is not Randomizer
+            ) and type(randomizer) is not Randomizer:
+                import warnings
+
+                warnings.warn(
+                    f"{type(randomizer).__name__} does not declare "
+                    "`engine_kind`; the engine will use the inherited "
+                    "default ('bag') for on-device draws, which may not "
+                    "match get_next_tetromino(). Set engine_kind explicitly "
+                    "on the subclass.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            queue_kind = randomizer.engine_kind
 
         if tetrominoes is not None or base_pixels is not None:
             if tetrominoes is None:
@@ -251,10 +271,11 @@ class Tetris(gym.Env):
         return {k: np.asarray(v) for k, v in obs.items()}
 
     def _render_ansi(self) -> str:
-        """Character rendering of the projected board (ref: envs/tetris.py:323-343)."""
+        """Character rendering of the projected board, padding cropped
+        (parity with ref: envs/tetris.py:352-360: cell ids as characters,
+        ``.`` for empty)."""
         board = np.asarray(self._observe(self.state)["board"])
-        chars = {0: ".", 1: "#"}
-        lines = [
-            "".join(chars.get(int(c), str(int(c))) for c in row) for row in board
-        ]
-        return "\n".join(lines) + "\n"
+        pad = self.config.padding
+        projection = board[:-pad, pad:-pad]
+        char_field = np.where(projection == 0, ".", projection.astype(str))
+        return "\n".join("".join(row) for row in char_field)

@@ -25,7 +25,7 @@ from tetris_gymnasium_tpu.core.grouped import GroupedState
 from tetris_gymnasium_tpu.wrappers.observation import FeatureVectorObservation
 
 
-class GroupedActionsObservations(gym.Wrapper):
+class GroupedActionsObservations(gym.Wrapper, gym.utils.RecordConstructorArgs):
     """Placement-MDP view: actions are (column, rotation) pairs."""
 
     def __init__(
@@ -35,10 +35,17 @@ class GroupedActionsObservations(gym.Wrapper):
         terminate_on_illegal_action: bool = True,
         mode: Optional[str] = None,
     ):
+        gym.utils.RecordConstructorArgs.__init__(
+            self,
+            observation_wrappers=observation_wrappers,
+            terminate_on_illegal_action=terminate_on_illegal_action,
+            mode=mode,
+        )
         super().__init__(env)
         cfg = env.unwrapped.config
         self.config = cfg
         self.terminate_on_illegal_action = terminate_on_illegal_action
+        self.observation_wrappers = list(observation_wrappers or [])
 
         # Reference API compat: passing a FeatureVectorObservation as an inner
         # observation wrapper selects per-candidate feature vectors
@@ -65,18 +72,29 @@ class GroupedActionsObservations(gym.Wrapper):
         self._step = grouped.jit_step(cfg, mode, terminate_on_illegal_action)
         self._gstate: Optional[GroupedState] = None
 
+    def _board_info(self, base_obs: dict):
+        """The base Dict obs chained through the inner observation wrappers
+        (ref: grouped.py:260-264, 285-290 — ``info["board"]`` feeds replay
+        buffers in train_lin_grouped.py:344-351)."""
+        board = base_obs
+        for wrapper in self.observation_wrappers:
+            board = wrapper.observation(board)
+        return board
+
     def reset(self, *, seed=None, options=None):
         """Reset the base env and enumerate the first piece's placements."""
-        _, info = self.env.reset(seed=seed, options=options)
+        base_obs, info = self.env.reset(seed=seed, options=options)
         env_state = self.env.unwrapped.state
         obs, mask = self._observe(env_state)
         self._gstate = GroupedState(env=env_state, mask=mask)
         self.legal_actions_mask = np.asarray(mask)
+        info["board"] = self._board_info(base_obs)
         info["action_mask"] = self.legal_actions_mask
         return np.asarray(obs, dtype=np.float32), info
 
     def step(self, action: int):
         """Place the active piece at the decoded (column, rotation)."""
+        was_legal = bool(self.legal_actions_mask[int(action)])
         gstate, obs, reward, done, info = self._step(self._gstate, np.int32(action))
         self._gstate = gstate
         self.env.unwrapped.state = gstate.env
@@ -85,6 +103,11 @@ class GroupedActionsObservations(gym.Wrapper):
             "action_mask": self.legal_actions_mask,
             "lines_cleared": int(info["lines_cleared"]),
         }
+        if was_legal:
+            base_obs = self.env.unwrapped._to_numpy(
+                self.env.unwrapped._observe(gstate.env)
+            )
+            out_info["board"] = self._board_info(base_obs)
         return (
             np.asarray(obs, dtype=np.float32),
             float(reward),

@@ -27,7 +27,7 @@ from tetris_gymnasium_tpu.ops.observations import (
 from tetris_gymnasium_tpu.pieces import PIECES
 
 
-class RgbObservation(gym.ObservationWrapper):
+class RgbObservation(gym.ObservationWrapper, gym.utils.RecordConstructorArgs):
     """Dict obs -> one RGB image (board left, queue/holder sidebar right).
 
     Layout and palette parity with the reference wrapper
@@ -36,13 +36,22 @@ class RgbObservation(gym.ObservationWrapper):
     """
 
     def __init__(self, env: gym.Env):
+        gym.utils.RecordConstructorArgs.__init__(self)
         super().__init__(env)
         cfg = env.unwrapped.config
         side = max(cfg.queue_size, env.unwrapped.config.holder_size) * cfg.padding
         self.observation_space = spaces.Box(
             0, 255, (cfg.padded_height, cfg.padded_width + side, 3), dtype=np.uint8
         )
-        self._compose = jax.jit(functools.partial(compose_rgb, pieces=PIECES))
+        # Use the env's actual piece set (custom `tetrominoes`/`base_pixels`
+        # change the palette; ref: wrappers/observation.py:44-74 reads
+        # env.pixels) — not the default-pieces cache.
+        pieces = getattr(env.unwrapped, "pieces", PIECES)
+        self._pieces = pieces
+        self._compose = jax.jit(functools.partial(compose_rgb, pieces=pieces))
+        self._render_rgb = jax.jit(
+            functools.partial(engine.render_rgb, config=cfg, pieces=pieces)
+        )
 
     def observation(self, observation: dict) -> np.ndarray:
         """Composite the Dict observation into one RGB frame."""
@@ -58,7 +67,7 @@ class RgbObservation(gym.ObservationWrapper):
         """Upscaled RGB rendering of the composite observation
         (ref: wrappers/observation.py:76-115)."""
         state = self.env.unwrapped.state
-        rgb = engine.jit_render_rgb(self.env.unwrapped.config)(state)
+        rgb = self._render_rgb(state)
         scale = self.env.unwrapped.render_scaling_factor
         img = np.asarray(upscale_rgb(rgb, scale))
         if self.render_mode == "rgb_array":
@@ -71,7 +80,7 @@ class RgbObservation(gym.ObservationWrapper):
         return None
 
 
-class FeatureVectorObservation(gym.ObservationWrapper):
+class FeatureVectorObservation(gym.ObservationWrapper, gym.utils.RecordConstructorArgs):
     """Dict obs -> engineered feature vector (heights, max, holes, bumpiness).
 
     Formula parity with the reference wrapper
@@ -89,6 +98,13 @@ class FeatureVectorObservation(gym.ObservationWrapper):
         report_holes: bool = True,
         report_bumpiness: bool = True,
     ):
+        gym.utils.RecordConstructorArgs.__init__(
+            self,
+            report_height=report_height,
+            report_max_height=report_max_height,
+            report_holes=report_holes,
+            report_bumpiness=report_bumpiness,
+        )
         super().__init__(env)
         cfg = env.unwrapped.config
         self.flags = FeatureFlags(
@@ -103,7 +119,13 @@ class FeatureVectorObservation(gym.ObservationWrapper):
             + int(report_holes)
             + int(report_bumpiness)
         )
-        self.observation_space = spaces.Box(0, cfg.height, (n,), dtype=np.uint8)
+        # Bound chosen so the space actually contains every reachable value:
+        # heights <= H, holes <= H*W, bumpiness <= H*(W-1).  (The reference
+        # declares high=len(tetrominoes)=7, ref: wrappers/observation.py:158,
+        # which its own values violate — fixed here, like its masking bug.)
+        high = cfg.height * cfg.width
+        dtype = np.uint8 if high <= np.iinfo(np.uint8).max else np.int32
+        self.observation_space = spaces.Box(0, high, (n,), dtype=dtype)
         pad = cfg.padding
 
         @jax.jit
@@ -120,4 +142,4 @@ class FeatureVectorObservation(gym.ObservationWrapper):
         the projected piece — rather than un-projecting the Dict observation.
         """
         board = jnp.asarray(self.env.unwrapped.state.board)
-        return np.asarray(self._features(board), dtype=np.uint8)
+        return np.asarray(self._features(board), dtype=self.observation_space.dtype)
