@@ -4,8 +4,14 @@ Counterpart of the reference's CleanRL PPO example (ref: examples/train_ppo.py)
 with the host loop reduced to: call the jitted train step, log metrics.
 The reference steps 8 host envs; here thousands of envs run in lockstep on
 the chip, so one iteration is rollout_len * n_envs env steps.
+
+Learning signals: ``reward/step`` (alife + line clears) and
+``steps/episode`` (rollout steps per finished episode — surviving longer)
+climbing over iterations; recorded as JSONL with ``--log-json``.
 """
 import argparse
+import json
+import os
 import time
 
 import jax
@@ -21,10 +27,12 @@ def main():
     p.add_argument("--iterations", type=int, default=100)
     p.add_argument("--rollout-len", type=int, default=128)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     args = p.parse_args()
 
     env_config = EngineConfig(auto_reset=True)
-    ppo_cfg = ppo.PPOConfig(rollout_len=args.rollout_len)
+    ppo_cfg = ppo.PPOConfig(rollout_len=args.rollout_len, ent_coef=args.ent_coef)
     net = ActorCriticCNN()
 
     ts = ppo.init_train_state(
@@ -32,21 +40,34 @@ def main():
     )
     train_step = jax.jit(ppo.make_train_step(env_config, ppo_cfg, net), donate_argnums=0)
 
+    log_f = None
+    if args.log_json:
+        os.makedirs(os.path.dirname(args.log_json) or ".", exist_ok=True)
+        log_f = open(args.log_json, "a")
+
     steps_per_iter = args.n_envs * ppo_cfg.rollout_len
     t0 = time.perf_counter()
     for it in range(1, args.iterations + 1):
         ts, metrics = train_step(ts)
-        if it % 10 == 0 or it == 1:
-            metrics = jax.device_get(metrics)
-            sps = steps_per_iter * it / (time.perf_counter() - t0)
-            print(
-                f"iter {it:4d}  SPS {sps:12.0f}  "
-                f"reward/step {metrics['mean_reward']:8.4f}  "
-                f"episodes {metrics['episodes_done']:6.0f}  "
-                f"pg {metrics['pg_loss']:+.4f}  v {metrics['v_loss']:.4f}  "
-                f"ent {metrics['entropy']:.4f}",
-                flush=True,
-            )
+        if it % 5 == 0 or it == 1:
+            m = jax.device_get(metrics)
+            episodes = max(float(m["episodes_done"]), 1.0)
+            rec = {
+                "iteration": it,
+                "env_steps": steps_per_iter * it,
+                "sps": round(steps_per_iter * it / (time.perf_counter() - t0)),
+                "reward_per_step": round(float(m["mean_reward"]), 4),
+                "steps_per_episode": round(steps_per_iter / episodes, 2),
+                "pg_loss": round(float(m["pg_loss"]), 5),
+                "v_loss": round(float(m["v_loss"]), 5),
+                "entropy": round(float(m["entropy"]), 4),
+            }
+            print(json.dumps(rec), flush=True)
+            if log_f:
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+    if log_f:
+        log_f.close()
 
 
 if __name__ == "__main__":

@@ -31,18 +31,36 @@ def main():
     p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args()
 
+    import os
+
     import jax
 
-    kwargs = {}
-    if args.coordinator is not None:
-        kwargs = dict(
-            coordinator_address=args.coordinator,
-            num_processes=args.num_processes,
-            process_id=args.process_id,
-        )
     from tetris_gymnasium_tpu.parallel import mesh as pmesh
 
-    pmesh.initialize_distributed(**kwargs)
+    # Initialize the distributed runtime iff a multi-process context is
+    # configured (explicit flags or pod/cluster env hints).  Inside that
+    # context any bring-up failure PROPAGATES — a misconfigured pod slice
+    # must die at startup, not silently run single-host.
+    multiproc = args.coordinator is not None or any(
+        os.environ.get(v)
+        for v in (
+            "JAX_COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+            "SLURM_JOB_ID",
+        )
+    )
+    if multiproc:
+        kwargs = {}
+        if args.coordinator is not None:
+            kwargs = dict(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        pmesh.initialize_distributed(**kwargs)
+    else:
+        print("single-process run (no coordinator configured)")
 
     import jax.numpy as jnp  # noqa: F401  (after distributed init)
 

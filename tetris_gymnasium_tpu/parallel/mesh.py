@@ -143,10 +143,12 @@ def sharded_random_rollout(
 def initialize_distributed(**kwargs) -> None:
     """Multi-host bring-up: ``jax.distributed.initialize`` passthrough.
 
-    On a single-host run this is a no-op (initialize raises if re-run or
-    unconfigured); call once at program start on each host of a pod slice.
+    Idempotent: a no-op when the distributed runtime is already up.  Every
+    *other* failure (unreachable coordinator, bad process counts, mismatched
+    addresses) propagates — a misconfigured pod slice must fail loudly at
+    startup, not silently run single-host.  Call once at program start on
+    each host of a pod slice.
     """
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(**kwargs)
