@@ -40,6 +40,7 @@ from tetris_gymnasium_tpu.core import grouped, turbo
 from tetris_gymnasium_tpu.models import QNetworkCNN
 from tetris_gymnasium_tpu.ops import rng as orng
 from tetris_gymnasium_tpu.parallel.mesh import batch_keys
+from tetris_gymnasium_tpu.utils import profiling
 from tetris_gymnasium_tpu.utils.compilation import enable_persistent_cache
 
 NORTH_STAR = 50e6  # env-steps/s per host (BASELINE.json north_star)
@@ -168,7 +169,9 @@ def main():
     full = os.environ.get("BENCH_FULL", "1") != "0"
 
     config = EngineConfig(auto_reset=True)
-    steps_per_sec = bench_turbo_step(config, n_envs, horizon, repeats)
+    # BENCH_PROFILE=<dir> captures a jax.profiler trace of the headline run.
+    with profiling.trace(os.environ.get("BENCH_PROFILE")):
+        steps_per_sec = bench_turbo_step(config, n_envs, horizon, repeats)
 
     extras = {}
     if full:

@@ -146,19 +146,27 @@ def make_train_step(env_config: EngineConfig, cfg: DQNConfig, net: QNetworkCNN):
         )
 
         # -- learner update (ref: train_cnn.py:323-359) ------------------------
-        batch = buffers.sample(buffer, sample_key, cfg.batch_size)
-        loss, grads = jax.value_and_grad(td_loss)(
-            ts.params, ts.target_params, batch
-        )
-        updates, opt_state = optimizer.update(grads, ts.opt_state, ts.params)
-        new_params = optax.apply_updates(ts.params, updates)
-
+        # Gated with lax.cond, not masked arithmetic: before learning_starts
+        # the warm-up branch skips the forward+backward entirely instead of
+        # computing and discarding it (round-1 VERDICT weak #4).
         learn = ts.step >= cfg.learning_starts
-        params = jax.tree.map(
-            lambda new, old: jnp.where(learn, new, old), new_params, ts.params
-        )
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(learn, new, old), opt_state, ts.opt_state
+
+        def do_update(operand):
+            params, target_params, opt_state, buffer, sample_key = operand
+            batch = buffers.sample(buffer, sample_key, cfg.batch_size)
+            loss, grads = jax.value_and_grad(td_loss)(params, target_params, batch)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        def skip_update(operand):
+            params, _, opt_state, _, _ = operand
+            return params, opt_state, jnp.float32(0)
+
+        params, opt_state, loss = jax.lax.cond(
+            learn,
+            do_update,
+            skip_update,
+            (ts.params, ts.target_params, ts.opt_state, buffer, sample_key),
         )
 
         # -- periodic hard target sync (τ=1, ref: train_cnn.py:111, 353-358) ---
@@ -168,7 +176,7 @@ def make_train_step(env_config: EngineConfig, cfg: DQNConfig, net: QNetworkCNN):
         )
 
         metrics = {
-            "loss": jnp.where(learn, loss, 0.0),
+            "loss": loss,
             "mean_q": q.mean(),
             "epsilon": _epsilon(cfg, ts.step),
             "mean_reward": reward.mean(),
