@@ -1,0 +1,94 @@
+"""Learning acceptance: committed curves + an opt-in live training run.
+
+The reference's training examples are trusted CleanRL ports with published
+behavior (ref: examples/train_lin_grouped.py:322-341 logs lines cleared);
+here the evidence is first-class: the committed JSONL curves in ``results/``
+(produced by the examples on one TPU chip; commands in README) are asserted
+against the random baseline, and an opt-in live run
+(``TETRIS_TPU_SLOW_TESTS=1``) retrains a small grouped DQN from scratch on
+CPU and asserts the line-clear rate climbs.
+"""
+import json
+import os
+
+import pytest
+
+RESULTS = os.path.join(os.path.dirname(os.path.dirname(__file__)), "results")
+
+
+def _load(name):
+    path = os.path.join(RESULTS, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not committed")
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_grouped_dqn_curve_beats_random():
+    """Final line-clear rate >> the random-policy rate at the start
+    (ref workload: examples/train_lin_grouped.py)."""
+    recs = _load("grouped_dqn.jsonl")
+    assert len(recs) >= 10
+    random_rate = recs[0]["lines_per_step"]  # epsilon ~= 1: random policy
+    final_rate = sum(r["lines_per_step"] for r in recs[-5:]) / 5
+    assert final_rate > 0.05, f"final lines/step {final_rate} too low"
+    assert final_rate > 20 * max(random_rate, 1e-6), (
+        f"no learning: random {random_rate} -> final {final_rate}"
+    )
+    # reward climbs with it
+    assert recs[-1]["mean_reward"] > recs[0]["mean_reward"] + 0.5
+
+
+def test_ppo_curve_beats_random():
+    """Survival (steps/episode) and reward/step climb well above the random
+    policy (ref workload: examples/train_ppo.py)."""
+    recs = _load("ppo.jsonl")
+    assert len(recs) >= 10
+    # iterations 2-3 are the (near-)random policy after autoreset churn
+    early_survival = min(r["steps_per_episode"] for r in recs[1:4])
+    final_survival = sum(r["steps_per_episode"] for r in recs[-5:]) / 5
+    assert final_survival > 2 * early_survival
+    assert recs[-1]["reward_per_step"] > 2 * recs[0]["reward_per_step"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TETRIS_TPU_SLOW_TESTS"),
+    reason="live training acceptance (set TETRIS_TPU_SLOW_TESTS=1; ~15 min on CPU)",
+)
+def test_grouped_dqn_learns_live():
+    """Train a small grouped DQN from scratch; line clears must climb."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tetris_gymnasium_tpu.config import EngineConfig
+    from tetris_gymnasium_tpu.models.networks import QMLP
+    from tetris_gymnasium_tpu.rl import grouped_dqn
+
+    env_config = EngineConfig(width=6, gravity_enabled=False, auto_reset=True)
+    cfg = grouped_dqn.GroupedDQNConfig(
+        buffer_size=8192, batch_size=128, exploration_steps=400,
+        learning_starts=100, target_update_every=100,
+    )
+    net = QMLP()
+    ts = grouped_dqn.init_grouped_dqn_state(
+        jax.random.PRNGKey(0), 64, env_config, cfg, net
+    )
+    train_step = grouped_dqn.make_train_step(env_config, cfg, net)
+
+    @jax.jit
+    def chunk(ts):
+        def one(c, _):
+            c, m = train_step(c)
+            return c, m["lines_cleared"]
+
+        ts, lines = jax.lax.scan(one, ts, None, length=50)
+        return ts, jnp.sum(lines)
+
+    totals = []
+    for _ in range(17):
+        ts, lines = chunk(ts)
+        totals.append(float(lines))
+    early, late = sum(totals[:3]), sum(totals[-3:])
+    assert late > 2 * max(early, 1.0), f"no learning: early {early}, late {late}"
