@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from tetris_gymnasium_tpu.config import EngineConfig
-from tetris_gymnasium_tpu.core import grouped, turbo
+from tetris_gymnasium_tpu.core import turbo, turbo_grouped
 from tetris_gymnasium_tpu.models import QNetworkCNN
 from tetris_gymnasium_tpu.ops import rng as orng
 from tetris_gymnasium_tpu.parallel.mesh import batch_keys
@@ -129,19 +129,25 @@ def bench_actor_feed(config: EngineConfig, n_envs: int, horizon: int, repeats: i
 
 
 def bench_grouped(config: EngineConfig, n_envs: int, horizon: int, repeats: int):
-    """Config 4: grouped placement enumeration/step, masked-random actions."""
-    n_actions = config.width * 4
+    """Config 4: grouped placement enumeration/step, masked-random actions.
+
+    Runs the turbo grouped engine (flagship-equivalent trajectories,
+    tests/test_turbo_grouped.py): all ``width*4`` candidates per env are a
+    trailing batch axis of the bit-packed kernels.
+    """
+    gconfig = EngineConfig(gravity_enabled=False, auto_reset=True)
+    n_actions = gconfig.width * 4
     keys = batch_keys(jax.random.PRNGKey(3), n_envs)
-    gstates, _ = grouped.batched_reset(keys, config=config, mode="features")
+    gstates, _ = jax.jit(functools.partial(turbo_grouped.reset, config=gconfig))(keys)
 
     def rollout(gstates, key):
         def one(carry, _):
             gs, k, tot_r = carry
             # masked-random placement: uniform scores, illegal masked out
             k, u = orng.uniform(k, shape=(n_actions,))
-            scores = gs.mask * (1.0 + u[None, :])
-            a = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-            gs2, _, r, d, _ = grouped.batched_step(gs, a, config=config, mode="features")
+            scores = gs.mask * (1.0 + u[:, None])  # mask is [A, B]
+            a = jnp.argmax(scores, axis=0).astype(jnp.int32)
+            gs2, _, r, d, _ = turbo_grouped.step(gs, a, config=gconfig)
             return (gs2, k, tot_r + jnp.sum(r)), None
 
         (final, _, tot_r), _ = jax.lax.scan(

@@ -1,0 +1,126 @@
+"""Turbo grouped engine ≡ flagship grouped engine, field for field.
+
+The turbo grouped engine re-implements the placement MDP on bit-packed
+batch-minor kernels; these tests pin it against the flagship grouped engine
+(core/grouped.py) — masks, feature observations, rewards, terminations,
+lines and resulting env states must match exactly from the same keys, over
+long random-placement trajectories.  The flagship grouped suite
+(tests/test_grouped.py) anchors those semantics to the reference golden CSV
+and literal mask, so equality here transitively inherits reference parity.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.core import grouped, turbo, turbo_grouped
+from tetris_gymnasium_tpu.ops import bitboard as bb
+from tetris_gymnasium_tpu.parallel.mesh import batch_keys
+
+CFG = EngineConfig(gravity_enabled=False, auto_reset=True)
+CFG_NR = EngineConfig(gravity_enabled=False, auto_reset=False)
+B = 8
+
+
+def flagship_batch(cfg, seed=0):
+    keys = batch_keys(jax.random.PRNGKey(seed), B)
+    return grouped.batched_reset(keys, config=cfg, mode="features")
+
+
+def to_turbo(gs, cfg):
+    env = turbo.from_flagship(gs.env, cfg)
+    return turbo_grouped.TurboGroupedState(env=env, mask=gs.mask.T)
+
+
+def assert_env_equal(tenv, fenv, cfg):
+    """Turbo env state == flagship env state (occupancy for the board)."""
+    pack = jax.vmap(bb.pack_board)
+    np.testing.assert_array_equal(np.asarray(tenv.rows), np.asarray(pack(fenv.board)).T)
+    for name in (
+        "piece", "rotation", "x", "y", "bag_index", "game_over",
+        "score", "lines", "steps", "holder_count", "has_swapped",
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tenv, name)), np.asarray(getattr(fenv, name)), err_msg=name
+        )
+    for name in ("bag", "queue", "holder_piece", "holder_rotation", "key"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(tenv, name)), np.asarray(getattr(fenv, name)).T, err_msg=name
+        )
+
+
+@pytest.mark.parametrize("cfg", [CFG, CFG_NR], ids=["autoreset", "no-autoreset"])
+def test_reset_observation_matches_flagship(cfg):
+    fgs, fobs = flagship_batch(cfg, seed=3)
+    keys = batch_keys(jax.random.PRNGKey(3), B)
+    tgs, tobs = turbo_grouped.reset(keys, cfg)
+    assert_env_equal(tgs.env, fgs.env, cfg)
+    np.testing.assert_array_equal(np.asarray(tgs.mask).T, np.asarray(fgs.mask))
+    np.testing.assert_array_equal(np.asarray(tobs), np.asarray(fobs))
+
+
+def test_placements_match_flagship_on_played_boards():
+    """After some play, candidate features/masks still match exactly."""
+    cfg = CFG
+    fgs, _ = flagship_batch(cfg, seed=5)
+    rng = np.random.default_rng(5)
+    for _ in range(6):
+        legal = np.asarray(fgs.mask)
+        acts = jnp.asarray(
+            [rng.choice(np.nonzero(legal[b])[0]) for b in range(B)], dtype=jnp.int32
+        )
+        fgs, fobs, *_ = grouped.batched_step(fgs, acts, config=cfg, mode="features")
+    tgs = to_turbo(fgs, cfg)
+    tobs, tmask = turbo_grouped.observation(tgs.env, cfg)
+    np.testing.assert_array_equal(np.asarray(tmask).T, np.asarray(fgs.mask))
+    np.testing.assert_array_equal(np.asarray(tobs), np.asarray(fobs))
+
+
+@pytest.mark.parametrize(
+    "cfg,terminate",
+    [(CFG, True), (CFG_NR, True), (CFG, False)],
+    ids=["autoreset-term", "noreset-term", "autoreset-noop"],
+)
+def test_random_trajectories_match_flagship(cfg, terminate):
+    """Long random placement rollouts: every output equal every step
+    (including illegal actions to hit the sentinel/penalty paths)."""
+    keys = batch_keys(jax.random.PRNGKey(11), B)
+    fgs, _ = grouped.batched_reset(
+        keys, config=cfg, mode="features", terminate_on_illegal=terminate
+    )
+    tgs, _ = turbo_grouped.reset(keys, cfg)
+    np.testing.assert_array_equal(np.asarray(tgs.mask).T, np.asarray(fgs.mask))
+
+    tstep = jax.jit(
+        functools.partial(turbo_grouped.step, config=cfg, terminate_on_illegal=terminate)
+    )
+    rng = np.random.default_rng(7)
+    A = cfg.width * 4
+    for step_i in range(40):
+        # mostly-legal actions with occasional deliberate illegals
+        legal = np.asarray(fgs.mask)
+        acts = []
+        for b in range(B):
+            if rng.random() < 0.15:
+                acts.append(int(rng.integers(0, A)))
+            else:
+                options = np.nonzero(legal[b])[0]
+                acts.append(int(rng.choice(options)) if len(options) else 0)
+        acts = jnp.asarray(acts, dtype=jnp.int32)
+
+        fgs, fobs, frew, fdone, finfo = grouped.batched_step(
+            fgs, acts, config=cfg, mode="features", terminate_on_illegal=terminate
+        )
+        tgs, tobs, trew, tdone, tinfo = tstep(tgs, acts)
+
+        np.testing.assert_array_equal(np.asarray(trew), np.asarray(frew), err_msg=f"step {step_i}")
+        np.testing.assert_array_equal(np.asarray(tdone), np.asarray(fdone))
+        np.testing.assert_array_equal(
+            np.asarray(tinfo["lines_cleared"]), np.asarray(finfo["lines_cleared"])
+        )
+        np.testing.assert_array_equal(np.asarray(tobs), np.asarray(fobs), err_msg=f"obs step {step_i}")
+        np.testing.assert_array_equal(np.asarray(tgs.mask).T, np.asarray(fgs.mask))
+        assert_env_equal(tgs.env, fgs.env, cfg)

@@ -11,6 +11,9 @@ Layers (bottom-up):
                                functional env (``tetris_fn``).
   * ``core.engine``          — flagship engine: 8 actions, holder/swap,
                                preview queue, auto-reset, fused observations.
+  * ``core.turbo``           — turbo engine: batch-minor bit-packed hot path,
+                               trajectory-equivalent to the flagship.
+  * ``core.turbo_grouped``   — placement MDP on the turbo kernels.
   * ``parallel``             — device-mesh sharding of env batches.
   * ``envs`` / ``wrappers``  — Gymnasium-compatible shell.
   * ``models`` / ``rl``      — Flax networks + on-device RL training loops.

@@ -169,35 +169,41 @@ def _shift(rb: jnp.ndarray, x: jnp.ndarray, width: int) -> jnp.ndarray:
     return rb << xc
 
 
+def _h_iota(H: int, ndim: int) -> jnp.ndarray:
+    """``arange(H)`` shaped to broadcast over ``ndim - 1`` trailing batch dims."""
+    return jnp.arange(H, dtype=jnp.int32).reshape((H,) + (1,) * (ndim - 1))
+
+
 def _hit_map(rows: jnp.ndarray, sp: jnp.ndarray) -> jnp.ndarray:
-    """``bool[H, B]``: piece-overlap flag at every vertical offset.
+    """``bool[H, *batch]``: piece-overlap flag at every vertical offset.
 
     ``hm[y] = any_s rows[y+s] & sp[s]`` — S static row shifts, pure
     elementwise full-lane work (same construction as ops.bitboard.hit_map).
+    All kernels here are polymorphic over trailing batch dims: the engine
+    steps ``[H, B]`` states, the grouped engine ``[H, A, B]`` candidates.
     """
-    H, B = rows.shape
+    H = rows.shape[0]
     acc = rows & sp[0]
     for s in range(1, sp.shape[0]):
         shifted = jnp.concatenate(
-            [rows[s:], jnp.zeros((s, B), dtype=jnp.uint32)], axis=0
+            [rows[s:], jnp.zeros((s,) + rows.shape[1:], dtype=jnp.uint32)], axis=0
         )
         acc = acc | (shifted & sp[s])
     return acc != 0
 
 
 def _collision_at(hm: jnp.ndarray, y: jnp.ndarray, size: int) -> jnp.ndarray:
-    """``bool[B]``: overlap at window start y (clamped), from a hit map."""
+    """``bool[*batch]``: overlap at window start y (clamped), from a hit map."""
     H = hm.shape[0]
     yc = _clamp_start(y, H - size, H)
-    h = jnp.arange(H, dtype=jnp.int32)[:, None]
-    return jnp.any(hm & (h == yc), axis=0)
+    return jnp.any(hm & (_h_iota(H, hm.ndim) == yc), axis=0)
 
 
 def _drop_from_map(hm: jnp.ndarray, y: jnp.ndarray, size: int) -> jnp.ndarray:
-    """``int32[B]`` hard-drop distance (parity with ops.bitboard.drop_from_map)."""
+    """``int32[*batch]`` hard-drop distance (parity with ops.bitboard.drop_from_map)."""
     H = hm.shape[0]
-    h = jnp.arange(H, dtype=jnp.int32)[:, None]
-    z = jnp.clip(y + 1, 0, H - size)  # [B]
+    h = _h_iota(H, hm.ndim)
+    z = jnp.clip(y + 1, 0, H - size)  # [*batch]
     eligible = hm & (h >= z) & (h <= H - size)
     first_hit = jnp.min(jnp.where(eligible, h, jnp.int32(2 * H)), axis=0)
     dist = jnp.clip(first_hit - (y + 1), 0, H)
@@ -208,7 +214,7 @@ def _project(rows: jnp.ndarray, sp: jnp.ndarray, y: jnp.ndarray, size: int) -> j
     """OR the x-shifted piece rows into the board at (clamped) row y."""
     H = rows.shape[0]
     yc = _clamp_start(y, H - size, H)
-    h = jnp.arange(H, dtype=jnp.int32)[:, None]
+    h = _h_iota(H, rows.ndim)
     out = rows
     for s in range(sp.shape[0]):
         out = out | jnp.where(h == yc + s, sp[s], jnp.uint32(0))
@@ -228,25 +234,25 @@ def _clear_lines(
     and no sort.
     """
     height = config.height
-    B = rows.shape[1]
+    batch = rows.shape[1:]
     pm = jnp.uint32(bb.play_mask(config.width, config.padding))
     side = jnp.uint32(bb.side_mask(config.width, config.padding))
 
     inner = rows[:height]
-    filled = (inner & pm) == pm  # [height, B]
-    n = jnp.sum(filled.astype(jnp.int32), axis=0)  # [B]
+    filled = (inner & pm) == pm  # [height, *batch]
+    n = jnp.sum(filled.astype(jnp.int32), axis=0)  # [*batch]
 
     # sh[h] = filled rows strictly below h (reverse exclusive cumsum)
     below_incl = jnp.cumsum(filled[::-1].astype(jnp.int32), axis=0)[::-1]
-    sh = below_incl - filled.astype(jnp.int32)  # [height, B]
+    sh = below_incl - filled.astype(jnp.int32)  # [height, *batch]
     keep = ~filled
 
-    acc = jnp.broadcast_to(side, (height, B))
+    acc = jnp.broadcast_to(side, (height,) + batch)
     for k in range(min(max_clear, height) + 1):
         move_k = keep & (sh == k)  # source rows that move down k
         if k:
-            pad_m = jnp.zeros((k, B), dtype=jnp.bool_)
-            pad_r = jnp.broadcast_to(side, (k, B))
+            pad_m = jnp.zeros((k,) + batch, dtype=jnp.bool_)
+            pad_r = jnp.broadcast_to(side, (k,) + batch)
             move_k = jnp.concatenate([pad_m, move_k[: height - k]], axis=0)
             src = jnp.concatenate([pad_r, inner[: height - k]], axis=0)
         else:

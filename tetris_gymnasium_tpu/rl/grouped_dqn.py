@@ -24,7 +24,7 @@ import optax
 from flax import struct
 
 from tetris_gymnasium_tpu.config import EngineConfig
-from tetris_gymnasium_tpu.core import grouped
+from tetris_gymnasium_tpu.core import turbo_grouped
 from tetris_gymnasium_tpu.models.networks import QMLP
 from tetris_gymnasium_tpu.rl import buffers
 
@@ -47,13 +47,18 @@ class GroupedDQNConfig(NamedTuple):
 
 @struct.dataclass
 class GroupedDQNState:
-    """Carried state of the grouped DQN loop."""
+    """Carried state of the grouped DQN loop.
+
+    ``env_states`` is the turbo grouped engine's batch-minor state (the
+    fast path — flagship-equivalent trajectories, tests/test_turbo_grouped.py);
+    everything NN-facing keeps the leading batch axis.
+    """
 
     params: Any
     target_params: Any
     opt_state: Any
     buffer: buffers.ReplayBuffer
-    env_states: grouped.GroupedState
+    env_states: turbo_grouped.TurboGroupedState
     obs: jnp.ndarray  # float32 [B, A, F] per-candidate features
     step: jnp.ndarray
     key: jnp.ndarray
@@ -88,8 +93,8 @@ def init_grouped_dqn_state(
     env_keys = jax.vmap(lambda i: jax.random.fold_in(env_key, i))(
         jnp.arange(n_envs, dtype=jnp.uint32)
     )
-    env_states, obs = jax.vmap(
-        functools.partial(grouped.reset, config=env_config, mode="features")
+    env_states, obs = jax.jit(
+        functools.partial(turbo_grouped.reset, config=env_config)
     )(env_keys)
 
     params = net.init(net_key, obs[:1])
@@ -126,7 +131,7 @@ def make_train_step(env_config: EngineConfig, cfg: GroupedDQNConfig, net: QMLP):
     ref: train_lin_grouped.py:316-321).
     """
     env_step = functools.partial(
-        grouped.step, config=env_config, mode="features", terminate_on_illegal=True
+        turbo_grouped.step, config=env_config, terminate_on_illegal=True
     )
     optimizer = optax.adam(cfg.learning_rate)
 
@@ -143,19 +148,17 @@ def make_train_step(env_config: EngineConfig, cfg: GroupedDQNConfig, net: QMLP):
     def train_step(ts: GroupedDQNState) -> Tuple[GroupedDQNState, dict]:
         key, eps_key, act_key, sample_key = jax.random.split(ts.key, 4)
         n = ts.obs.shape[0]
-        mask = ts.env_states.mask
+        mask = ts.env_states.mask.T  # engine keeps [A, B]; NN side wants [B, A]
 
         # -- masked ε-greedy (ref: train_lin_grouped.py:298-314) --------------
         q = _masked_q(net, ts.params, ts.obs, mask)
         greedy = jnp.argmax(q, axis=-1)
         random_a = _masked_random(act_key, mask)
         explore = jax.random.uniform(eps_key, (n,)) < _epsilon(cfg, ts.step)
-        action = jnp.where(explore, random_a, greedy)
+        action = jnp.where(explore, random_a, greedy).astype(jnp.int32)
 
         # -- env step + replay add --------------------------------------------
-        env_states, next_obs, reward, done, info = jax.vmap(env_step)(
-            ts.env_states, action
-        )
+        env_states, next_obs, reward, done, info = env_step(ts.env_states, action)
         buffer = buffers.add(
             ts.buffer,
             {
@@ -164,7 +167,7 @@ def make_train_step(env_config: EngineConfig, cfg: GroupedDQNConfig, net: QMLP):
                 "action": action,
                 "reward": reward,
                 "next_obs": next_obs,
-                "next_mask": env_states.mask,
+                "next_mask": env_states.mask.T,
                 "done": done,
             },
         )
