@@ -167,38 +167,47 @@ def bench_grouped(config: EngineConfig, n_envs: int, horizon: int, repeats: int)
     return n_envs * n_actions * horizon * repeats / elapsed
 
 
+def _result_line(steps_per_sec: float, extras: dict) -> str:
+    return json.dumps(
+        {
+            "metric": "env_steps_per_sec",
+            "value": round(steps_per_sec),
+            "unit": "steps/s",
+            "vs_baseline": round(steps_per_sec / NORTH_STAR, 4),
+            "extras": extras,
+        }
+    )
+
+
 def main():
     enable_persistent_cache()
     n_envs = int(os.environ.get("BENCH_ENVS", 65536))
     horizon = int(os.environ.get("BENCH_HORIZON", 256))
     repeats = int(os.environ.get("BENCH_REPEATS", 4))
     full = os.environ.get("BENCH_FULL", "1") != "0"
-
     config = EngineConfig(auto_reset=True)
+
     # BENCH_PROFILE=<dir> captures a jax.profiler trace of the headline run.
     with profiling.trace(os.environ.get("BENCH_PROFILE")):
         steps_per_sec = bench_turbo_step(config, n_envs, horizon, repeats)
 
+    # Print the headline immediately: uncached compiles through a remote
+    # tunnel can be slow, and if the process is killed during the extras,
+    # the LAST stdout line is still a valid result.
+    print(_result_line(steps_per_sec, {}), flush=True)
+
     extras = {}
     if full:
-        extras["actor_steps_per_sec"] = round(
-            bench_actor_feed(config, 8192, 64, max(repeats // 2, 1))
-        )
-        extras["grouped_placements_per_sec"] = round(
-            bench_grouped(config, 4096, 32, max(repeats // 2, 1))
-        )
-
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec",
-                "value": round(steps_per_sec),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / NORTH_STAR, 4),
-                "extras": extras,
-            }
-        )
-    )
+        try:
+            extras["actor_steps_per_sec"] = round(
+                bench_actor_feed(config, 8192, 64, max(repeats // 2, 1))
+            )
+            extras["grouped_placements_per_sec"] = round(
+                bench_grouped(config, 4096, 32, max(repeats // 2, 1))
+            )
+        except Exception:
+            pass
+        print(_result_line(steps_per_sec, extras), flush=True)
 
 
 if __name__ == "__main__":

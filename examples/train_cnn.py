@@ -3,12 +3,18 @@
 Counterpart of the reference's CleanRL DQN example (ref: examples/train_cnn.py).
 The reference pipes an 84x84x4 resized RGB stack through SB3's host replay;
 here the net consumes the native board observation and the replay buffer is
-device-resident, so the host loop only launches jitted steps.
+device-resident, so the host loop only launches jitted scan chunks.
+
+Learning signals: ``reward/step`` climbing and ``episodes/step`` (death
+rate) falling; recorded as JSONL with ``--log-json``.
 """
 import argparse
+import json
+import os
 import time
 
 import jax
+import jax.numpy as jnp
 
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.models.networks import QNetworkCNN
@@ -18,31 +24,67 @@ from tetris_gymnasium_tpu.rl import dqn
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-envs", type=int, default=1024)
-    p.add_argument("--steps", type=int, default=2000, help="batched env steps")
+    p.add_argument("--steps", type=int, default=20_000, help="batched env steps")
+    p.add_argument("--chunk", type=int, default=100, help="steps per device call")
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--exploration-steps", type=int, default=6_000)
+    p.add_argument("--learning-starts", type=int, default=500)
+    p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     args = p.parse_args()
 
     env_config = EngineConfig(auto_reset=True)
-    cfg = dqn.DQNConfig()
+    cfg = dqn.DQNConfig(
+        exploration_steps=args.exploration_steps,
+        learning_starts=args.learning_starts,
+    )
     net = QNetworkCNN()
 
     ts = dqn.init_dqn_state(
         jax.random.PRNGKey(args.seed), args.n_envs, env_config, cfg, net
     )
-    train_step = jax.jit(dqn.make_train_step(env_config, cfg, net), donate_argnums=0)
+    train_step = dqn.make_train_step(env_config, cfg, net)
+
+    @jax.jit
+    def train_chunk(ts):
+        def one(c, _):
+            c, m = train_step(c)
+            return c, (m["mean_reward"], m["episodes_done"], m["loss"], m["epsilon"])
+
+        ts, (rew, eps_done, loss, eps) = jax.lax.scan(one, ts, None, length=args.chunk)
+        return ts, {
+            "mean_reward": jnp.mean(rew),
+            "episodes": jnp.sum(eps_done),
+            "loss": loss[-1],
+            "epsilon": eps[-1],
+        }
+
+    log_f = None
+    if args.log_json:
+        os.makedirs(os.path.dirname(args.log_json) or ".", exist_ok=True)
+        log_f = open(args.log_json, "a")
 
     t0 = time.perf_counter()
-    for it in range(1, args.steps + 1):
-        ts, metrics = train_step(ts)
-        if it % 100 == 0 or it == 1:
-            metrics = jax.device_get(metrics)
-            sps = args.n_envs * it / (time.perf_counter() - t0)
-            print(
-                f"step {it:6d}  SPS {sps:12.0f}  eps {metrics['epsilon']:.3f}  "
-                f"loss {metrics['loss']:.5f}  q {metrics['mean_q']:+.3f}  "
-                f"episodes {metrics['episodes_done']:5.0f}",
-                flush=True,
-            )
+    for it in range(args.steps // args.chunk):
+        ts, m = train_chunk(ts)
+        m = jax.device_get(m)
+        step = (it + 1) * args.chunk
+        env_steps = step * args.n_envs
+        chunk_steps = args.chunk * args.n_envs
+        rec = {
+            "step": step,
+            "env_steps": env_steps,
+            "sps": round(env_steps / (time.perf_counter() - t0)),
+            "reward_per_step": round(float(m["mean_reward"]), 4),
+            "steps_per_episode": round(chunk_steps / max(float(m["episodes"]), 1.0), 2),
+            "loss": round(float(m["loss"]), 5),
+            "epsilon": round(float(m["epsilon"]), 4),
+        }
+        print(json.dumps(rec), flush=True)
+        if log_f:
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+    if log_f:
+        log_f.close()
 
 
 if __name__ == "__main__":

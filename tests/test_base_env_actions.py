@@ -293,3 +293,39 @@ def test_every_piece_spawn_drop_is_sound(piece):
     assert not bool(done)
     assert int((np.asarray(s2.board) > 1).sum()) == 4
     assert float(reward) == R.alife
+
+
+# -- bag integrity across real refills (VERDICT round-1 weak #8) ---------------
+
+
+def test_bag_draw_sequence_is_seven_bag_across_refills():
+    """Play a long game (drops spread over columns + swaps) and reconstruct
+    the full draw sequence (initial active + queue + every queue backfill):
+    chunked by 7 it must be a sequence of complete bags, across many real
+    refills (no re-pinning).  Draw detection is exact: ``bag_index``
+    advances by exactly one per draw (wrapping to 1 on a refill)."""
+    cfg = EngineConfig(width=14, height=30, gravity_enabled=False)
+    s = engine.init_state(jax.random.PRNGKey(123), cfg)
+    draws = [int(s.piece)] + [int(p) for p in np.asarray(s.queue)]
+
+    rng = np.random.default_rng(9)
+    piece_i = 0
+    while len(draws) < 42 and not bool(s.game_over):
+        # spread pieces over the (large) board to survive many bags
+        shift = int(rng.integers(-6, 7))
+        mover = A.move_left if shift < 0 else A.move_right
+        for _ in range(abs(shift)):
+            s, *_ = step(s, mover, cfg)
+        action = A.swap if (piece_i % 5 == 3) else A.hard_drop
+        idx_before = int(s.bag_index)
+        s, *_ = step(s, action, cfg)
+        piece_i += 1
+        idx_after = int(s.bag_index)
+        drew = idx_after == idx_before + 1 or (idx_after == 1 and idx_before == 7)
+        if drew:
+            draws.append(int(s.queue[-1]))
+
+    assert len(draws) >= 35, f"game ended after only {len(draws)} draws"
+    for b in range(len(draws) // 7):
+        window = sorted(draws[b * 7 : (b + 1) * 7])
+        assert window == list(range(7)), f"bag {b} is not a permutation: {window}"
