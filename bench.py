@@ -167,6 +167,39 @@ def bench_grouped(config: EngineConfig, n_envs: int, horizon: int, repeats: int)
     return n_envs * n_actions * horizon * repeats / elapsed
 
 
+def bench_ppo_train(n_envs: int, repeats: int):
+    """PPO train-step throughput: env-steps consumed per second of training.
+
+    One iteration = ``rollout_len`` fused env steps (flagship engine, policy
+    forward on device) + GAE + ``update_epochs x n_minibatches`` gradient
+    steps, all one XLA program (rl/ppo.py).  Replaces the reference stack of
+    SyncVectorEnv rollouts + torch updates (ref: examples/train_ppo.py:224-351).
+    """
+    from tetris_gymnasium_tpu.rl import ppo as rl_ppo
+
+    env_config = EngineConfig(auto_reset=True)
+    pcfg = rl_ppo.PPOConfig(rollout_len=64, update_epochs=2, n_minibatches=4)
+    ts = jax.jit(
+        functools.partial(
+            rl_ppo.init_train_state, n_envs=n_envs, env_config=env_config, ppo=pcfg
+        )
+    )(jax.random.PRNGKey(5))
+    train_step = jax.jit(
+        rl_ppo.make_train_step(env_config, pcfg, rl_ppo.ActorCriticCNN()),
+        donate_argnums=(0,),
+    )
+
+    ts, metrics = train_step(ts)
+    float(metrics["pg_loss"])  # fence warm-up
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        ts, metrics = train_step(ts)
+    float(metrics["pg_loss"])  # fence INSIDE the timed window (dispatch is async)
+    elapsed = time.perf_counter() - t0
+    return n_envs * pcfg.rollout_len * repeats / elapsed
+
+
 def _result_line(steps_per_sec: float, extras: dict) -> str:
     return json.dumps(
         {
@@ -204,6 +237,9 @@ def main():
             )
             extras["grouped_placements_per_sec"] = round(
                 bench_grouped(config, 4096, 32, max(repeats // 2, 1))
+            )
+            extras["ppo_env_steps_per_sec"] = round(
+                bench_ppo_train(2048, max(repeats // 2, 1))
             )
         except Exception:
             pass
