@@ -167,12 +167,13 @@ def bench_grouped(config: EngineConfig, n_envs: int, horizon: int, repeats: int)
     return n_envs * n_actions * horizon * repeats / elapsed
 
 
-def bench_ppo_train(n_envs: int, repeats: int):
+def bench_ppo_train(n_envs: int, repeats: int, impl: str = "turbo"):
     """PPO train-step throughput: env-steps consumed per second of training.
 
-    One iteration = ``rollout_len`` fused env steps (flagship engine, policy
-    forward on device) + GAE + ``update_epochs x n_minibatches`` gradient
-    steps, all one XLA program (rl/ppo.py).  Replaces the reference stack of
+    One iteration = ``rollout_len`` fused env steps (policy forward on
+    device) + GAE + ``update_epochs x n_minibatches`` gradient steps, all one
+    XLA program (rl/ppo.py).  ``impl`` picks the rollout engine (turbo =
+    bit-packed batch-minor hot path).  Replaces the reference stack of
     SyncVectorEnv rollouts + torch updates (ref: examples/train_ppo.py:224-351).
     """
     from tetris_gymnasium_tpu.rl import ppo as rl_ppo
@@ -181,11 +182,15 @@ def bench_ppo_train(n_envs: int, repeats: int):
     pcfg = rl_ppo.PPOConfig(rollout_len=64, update_epochs=2, n_minibatches=4)
     ts = jax.jit(
         functools.partial(
-            rl_ppo.init_train_state, n_envs=n_envs, env_config=env_config, ppo=pcfg
+            rl_ppo.init_train_state,
+            n_envs=n_envs,
+            env_config=env_config,
+            ppo=pcfg,
+            impl=impl,
         )
     )(jax.random.PRNGKey(5))
     train_step = jax.jit(
-        rl_ppo.make_train_step(env_config, pcfg, rl_ppo.ActorCriticCNN()),
+        rl_ppo.make_train_step(env_config, pcfg, rl_ppo.ActorCriticCNN(), impl=impl),
         donate_argnums=(0,),
     )
 
@@ -239,7 +244,7 @@ def main():
                 bench_grouped(config, 4096, 32, max(repeats // 2, 1))
             )
             extras["ppo_env_steps_per_sec"] = round(
-                bench_ppo_train(2048, max(repeats // 2, 1))
+                bench_ppo_train(8192, max(repeats // 2, 1), impl="turbo")
             )
         except Exception:
             pass

@@ -9,6 +9,7 @@ Learning signals: ``reward/step`` climbing and ``episodes/step`` (death
 rate) falling; recorded as JSONL with ``--log-json``.
 """
 import argparse
+import functools
 import json
 import os
 import time
@@ -29,6 +30,12 @@ def main():
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--exploration-steps", type=int, default=6_000)
     p.add_argument("--learning-starts", type=int, default=500)
+    p.add_argument(
+        "--impl",
+        choices=("flagship", "turbo"),
+        default="turbo",
+        help="rollout engine: turbo (bit-packed batch-minor, fastest) or flagship",
+    )
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     args = p.parse_args()
 
@@ -39,10 +46,19 @@ def main():
     )
     net = QNetworkCNN()
 
-    ts = dqn.init_dqn_state(
-        jax.random.PRNGKey(args.seed), args.n_envs, env_config, cfg, net
-    )
-    train_step = dqn.make_train_step(env_config, cfg, net)
+    # jit the init: eagerly it dispatches hundreds of tiny ops, which is
+    # painfully slow on remote-attached accelerators
+    ts = jax.jit(
+        functools.partial(
+            dqn.init_dqn_state,
+            n_envs=args.n_envs,
+            env_config=env_config,
+            cfg=cfg,
+            net=net,
+            impl=args.impl,
+        )
+    )(jax.random.PRNGKey(args.seed))
+    train_step = dqn.make_train_step(env_config, cfg, net, impl=args.impl)
 
     @jax.jit
     def train_chunk(ts):

@@ -10,6 +10,7 @@ Learning signals: ``reward/step`` (alife + line clears) and
 climbing over iterations; recorded as JSONL with ``--log-json``.
 """
 import argparse
+import functools
 import json
 import os
 import time
@@ -28,6 +29,12 @@ def main():
     p.add_argument("--rollout-len", type=int, default=128)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument(
+        "--impl",
+        choices=("flagship", "turbo"),
+        default="turbo",
+        help="rollout engine: turbo (bit-packed batch-minor, fastest) or flagship",
+    )
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     args = p.parse_args()
 
@@ -35,10 +42,22 @@ def main():
     ppo_cfg = ppo.PPOConfig(rollout_len=args.rollout_len, ent_coef=args.ent_coef)
     net = ActorCriticCNN()
 
-    ts = ppo.init_train_state(
-        jax.random.PRNGKey(args.seed), args.n_envs, env_config, ppo_cfg, net
+    # jit the init: eagerly it dispatches hundreds of tiny ops, which is
+    # painfully slow on remote-attached accelerators
+    ts = jax.jit(
+        functools.partial(
+            ppo.init_train_state,
+            n_envs=args.n_envs,
+            env_config=env_config,
+            ppo=ppo_cfg,
+            net=net,
+            impl=args.impl,
+        )
+    )(jax.random.PRNGKey(args.seed))
+    train_step = jax.jit(
+        ppo.make_train_step(env_config, ppo_cfg, net, impl=args.impl),
+        donate_argnums=0,
     )
-    train_step = jax.jit(ppo.make_train_step(env_config, ppo_cfg, net), donate_argnums=0)
 
     log_f = None
     if args.log_json:

@@ -58,6 +58,43 @@ def test_ppo_train_step_runs_and_updates():
     assert int(ts2.env_states.steps.sum()) > 0
 
 
+def test_ppo_turbo_impl_matches_flagship_rollout_stats():
+    """impl="turbo" trains on the bit-packed engine: runs, updates, advances.
+
+    Trajectory equivalence between the two engines is pinned in
+    tests/test_turbo.py; here we check the PPO wiring — same TrainState
+    surface, finite metrics, parameters move, env batch advances.
+    """
+    env_config = EngineConfig(auto_reset=True)
+    cfg = ppo.PPOConfig(rollout_len=4, update_epochs=1, n_minibatches=2)
+    net = ActorCriticCNN()
+    ts = ppo.init_train_state(
+        jax.random.PRNGKey(0), 8, env_config, cfg, net, impl="turbo"
+    )
+    step = jax.jit(ppo.make_train_step(env_config, cfg, net, impl="turbo"))
+
+    ts2, metrics = step(ts)
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+    changed = jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        ts.params,
+        ts2.params,
+    )
+    assert any(jax.tree.leaves(changed))
+    # turbo state is batch-minor: steps is [B] and every env advanced 4 steps
+    assert ts2.env_states.steps.shape == (8,)
+    assert int(ts2.env_states.steps.min()) == 4
+
+    # same per-env keys => the turbo rollout sees the flagship's game:
+    # initial observations must match exactly between impls
+    ts_flag = ppo.init_train_state(
+        jax.random.PRNGKey(0), 8, env_config, cfg, net, impl="flagship"
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ts.last_obs), np.asarray(ts_flag.last_obs)
+    )
+
+
 def test_dqn_train_step_runs_and_learns_flag():
     env_config = EngineConfig(auto_reset=True)
     cfg = dqn.DQNConfig(
@@ -84,6 +121,31 @@ def test_dqn_train_step_runs_and_learns_flag():
     )
     assert any(jax.tree.leaves(changed))
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_dqn_turbo_impl_runs_and_learns():
+    """impl="turbo": DQN acts/replays/learns against the bit-packed engine."""
+    env_config = EngineConfig(auto_reset=True)
+    cfg = dqn.DQNConfig(
+        buffer_size=64, batch_size=8, learning_starts=0, target_update_every=2
+    )
+    net = QNetworkCNN()
+    ts = dqn.init_dqn_state(
+        jax.random.PRNGKey(0), 8, env_config, cfg, net, impl="turbo"
+    )
+    step = jax.jit(dqn.make_train_step(env_config, cfg, net, impl="turbo"))
+    ts1, m1 = step(ts)
+    ts2, m2 = step(ts1)
+    changed = jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        ts1.params,
+        ts2.params,
+    )
+    assert any(jax.tree.leaves(changed))
+    assert np.isfinite(float(m2["loss"]))
+    # turbo state is batch-minor: board rows are [H, B]
+    assert ts2.env_states.rows.shape[-1] == 8
+    assert ts2.obs.shape == ts.obs.shape
 
 
 def test_grouped_dqn_train_step_respects_mask():

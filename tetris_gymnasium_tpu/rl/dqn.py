@@ -22,6 +22,7 @@ from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.core import engine
 from tetris_gymnasium_tpu.models.networks import QNetworkCNN
 from tetris_gymnasium_tpu.rl import buffers
+from tetris_gymnasium_tpu.rl.engines import env_fns as _env_fns
 
 
 class DQNConfig(NamedTuple):
@@ -65,18 +66,16 @@ def init_dqn_state(
     env_config: EngineConfig,
     cfg: DQNConfig,
     net: QNetworkCNN = QNetworkCNN(),
+    impl: str = "flagship",
 ) -> DQNState:
-    """Fresh networks, empty buffer, fresh env batch."""
+    """Fresh networks, empty buffer, fresh env batch (engine per ``impl``)."""
+    env_init, _, env_observe = _env_fns(env_config, impl)
     key, net_key, env_key = jax.random.split(key, 3)
     env_keys = jax.vmap(lambda i: jax.random.fold_in(env_key, i))(
         jnp.arange(n_envs, dtype=jnp.uint32)
     )
-    env_states = jax.vmap(functools.partial(engine.init_state, config=env_config))(
-        env_keys
-    )
-    obs = jax.vmap(functools.partial(engine.observe_board, config=env_config))(
-        env_states
-    )
+    env_states = env_init(env_keys)
+    obs = env_observe(env_states)
     params = net.init(net_key, obs[:1])
     opt_state = optax.adam(cfg.learning_rate).init(params)
 
@@ -100,16 +99,18 @@ def init_dqn_state(
     )
 
 
-def make_train_step(env_config: EngineConfig, cfg: DQNConfig, net: QNetworkCNN):
+def make_train_step(
+    env_config: EngineConfig, cfg: DQNConfig, net: QNetworkCNN,
+    impl: str = "flagship",
+):
     """Build the jitted DQN step: act -> env step -> buffer add -> TD update.
 
     One call advances every env one step and (past ``learning_starts``) runs
     one learner update; use under ``jax.lax.scan`` or a Python loop.
+    ``impl`` picks the rollout engine (see rl/engines.py); the DQNState must
+    come from :func:`init_dqn_state` with the same ``impl``.
     """
-    env_step = functools.partial(
-        engine.step, config=env_config, obs_fn=lambda s, c, p: ()
-    )
-    observe = functools.partial(engine.observe_board, config=env_config)
+    _, env_step_b, observe_b = _env_fns(env_config, impl)
     optimizer = optax.adam(cfg.learning_rate)
 
     def td_loss(params, target_params, batch):
@@ -132,8 +133,8 @@ def make_train_step(env_config: EngineConfig, cfg: DQNConfig, net: QNetworkCNN):
         action = jnp.where(explore, random_a, greedy)
 
         # -- env step + replay add -------------------------------------------
-        env_states, _, reward, done, _ = jax.vmap(env_step)(ts.env_states, action)
-        next_obs = jax.vmap(observe)(env_states)
+        env_states, _, reward, done, _ = env_step_b(ts.env_states, action)
+        next_obs = observe_b(env_states)
         buffer = buffers.add(
             ts.buffer,
             {

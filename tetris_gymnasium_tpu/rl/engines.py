@@ -1,0 +1,41 @@
+"""Engine selection for the RL stacks: flagship (vmap) or turbo (batch-minor).
+
+Every train loop in :mod:`tetris_gymnasium_tpu.rl` drives the env through the
+same three batched callables; this module picks which engine provides them.
+
+``impl="flagship"`` lifts the per-env flagship engine with ``vmap``
+(batch-leading state, id boards — needed when training drives rendering or
+Dict observations).  ``impl="turbo"`` uses the batch-minor bit-packed engine
+(:mod:`tetris_gymnasium_tpu.core.turbo`) — trajectory-equivalent
+(tests/test_turbo.py) and ~50x faster per env step, the right choice for
+throughput training.  Both take per-env keys ``uint32[B, 2]`` and produce the
+same board observation values, so a policy trained on one runs on the other.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+
+from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.core import engine, turbo
+
+
+def env_fns(
+    env_config: EngineConfig, impl: str
+) -> Tuple[Callable, Callable, Callable]:
+    """(init, step, observe) batched over the env axis for the chosen engine."""
+    if impl == "turbo":
+        init = functools.partial(turbo.init, config=env_config)
+        step = functools.partial(turbo.step, config=env_config)
+        observe = functools.partial(turbo.observe_board, config=env_config)
+        return init, step, observe
+    if impl != "flagship":
+        raise ValueError(f"unknown engine impl: {impl!r}")
+    init = jax.vmap(functools.partial(engine.init_state, config=env_config))
+    step = jax.vmap(
+        functools.partial(engine.step, config=env_config, obs_fn=lambda s, c, p: ())
+    )
+    observe = jax.vmap(functools.partial(engine.observe_board, config=env_config))
+    return init, step, observe

@@ -27,6 +27,7 @@ from flax import struct
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.core import engine
 from tetris_gymnasium_tpu.models.networks import ActorCriticCNN
+from tetris_gymnasium_tpu.rl.engines import env_fns as _env_fns
 
 
 class PPOConfig(NamedTuple):
@@ -75,18 +76,16 @@ def make_optimizer(ppo: PPOConfig) -> optax.GradientTransformation:
 def init_train_state(
     key: jnp.ndarray, n_envs: int, env_config: EngineConfig, ppo: PPOConfig,
     net: ActorCriticCNN = ActorCriticCNN(),
+    impl: str = "flagship",
 ) -> TrainState:
     """Initialise params, optimizer and a fresh sharded-ready env batch."""
+    env_init, _, env_observe = _env_fns(env_config, impl)
     key, net_key, env_key = jax.random.split(key, 3)
     env_keys = jax.vmap(lambda i: jax.random.fold_in(env_key, i))(
         jnp.arange(n_envs, dtype=jnp.uint32)
     )
-    env_states = jax.vmap(functools.partial(engine.init_state, config=env_config))(
-        env_keys
-    )
-    obs = jax.vmap(functools.partial(engine.observe_board, config=env_config))(
-        env_states
-    )
+    env_states = env_init(env_keys)
+    obs = env_observe(env_states)
     params = net.init(net_key, obs[:1])
     opt_state = make_optimizer(ppo).init(params)
     return TrainState(
@@ -111,26 +110,28 @@ def _gae(ppo: PPOConfig, traj: Transition, last_value: jnp.ndarray):
     return advantages, advantages + traj.value
 
 
-def make_train_step(env_config: EngineConfig, ppo: PPOConfig, net: ActorCriticCNN):
+def make_train_step(
+    env_config: EngineConfig, ppo: PPOConfig, net: ActorCriticCNN,
+    impl: str = "flagship",
+):
     """Build the jittable PPO iteration: rollout T steps, then update.
 
     ``env_config.auto_reset`` should be True so episodes restart on device
     (the reference relies on SyncVectorEnv's host-side autoreset,
-    ref: train_ppo.py:185-190).
+    ref: train_ppo.py:185-190).  ``impl`` picks the rollout engine — see
+    :func:`_env_fns`; the TrainState's ``env_states`` must come from
+    :func:`init_train_state` with the same ``impl``.
     """
-    env_step = functools.partial(
-        engine.step, config=env_config, obs_fn=lambda s, c, p: ()
-    )
-    observe = functools.partial(engine.observe_board, config=env_config)
+    _, env_step, observe = _env_fns(env_config, impl)
 
     def policy_step(carry, _):
         env_states, obs, params, key = carry
         key, act_key = jax.random.split(key)
         logits, value = net.apply(params, obs)
-        action = jax.random.categorical(act_key, logits)
+        action = jax.random.categorical(act_key, logits).astype(jnp.int32)
         log_prob = jax.nn.log_softmax(logits)[jnp.arange(logits.shape[0]), action]
-        env_states, _, reward, done, _ = jax.vmap(env_step)(env_states, action)
-        new_obs = jax.vmap(observe)(env_states)
+        env_states, _, reward, done, _ = env_step(env_states, action)
+        new_obs = observe(env_states)
         t = Transition(obs, action, log_prob, value, reward, done)
         return (env_states, new_obs, params, key), t
 
