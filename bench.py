@@ -31,6 +31,7 @@ import functools
 import json
 import os
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
@@ -236,18 +237,31 @@ def main():
 
     extras = {}
     if full:
-        try:
-            extras["actor_steps_per_sec"] = round(
-                bench_actor_feed(config, 8192, 64, max(repeats // 2, 1))
-            )
-            extras["grouped_placements_per_sec"] = round(
-                bench_grouped(config, 4096, 32, max(repeats // 2, 1))
-            )
-            extras["ppo_env_steps_per_sec"] = round(
-                bench_ppo_train(8192, max(repeats // 2, 1), impl="turbo")
-            )
-        except Exception:
-            pass
+        # Each extra runs under its own try/except: a regression in one
+        # BASELINE workload must neither hide the others nor silently drop
+        # its number — failures are printed to stderr AND recorded in the
+        # extras JSON as "<name>_error" so the driver-archived BENCH_rXX.json
+        # shows exactly which workload broke.
+        extra_benches = [
+            (
+                "actor_steps_per_sec",
+                lambda: bench_actor_feed(config, 8192, 64, max(repeats // 2, 1)),
+            ),
+            (
+                "grouped_placements_per_sec",
+                lambda: bench_grouped(config, 4096, 32, max(repeats // 2, 1)),
+            ),
+            (
+                "ppo_env_steps_per_sec",
+                lambda: bench_ppo_train(8192, max(repeats // 2, 1), impl="turbo"),
+            ),
+        ]
+        for name, fn in extra_benches:
+            try:
+                extras[name] = round(fn())
+            except Exception as e:  # noqa: BLE001 — keep headline valid
+                traceback.print_exc()
+                extras[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
         print(_result_line(steps_per_sec, extras), flush=True)
 
 

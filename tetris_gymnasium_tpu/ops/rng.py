@@ -32,11 +32,17 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
-_GOLDEN = jnp.uint32(0x9E3779B9)  # Weyl increment (2**32 / phi)
-_M1 = jnp.uint32(0x85EBCA6B)
-_M2 = jnp.uint32(0xC2B2AE35)
+# numpy scalars, NOT jnp: a module-level jnp constant would initialize the
+# JAX backend at import time, which breaks multi-host bring-up (the backend
+# must not exist before jax.distributed.initialize).  uint32 numpy scalars
+# combine with uint32 arrays without promotion.
+_GOLDEN = np.uint32(0x9E3779B9)  # Weyl increment (2**32 / phi)
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
 
 
 def fmix32(x: jnp.ndarray) -> jnp.ndarray:

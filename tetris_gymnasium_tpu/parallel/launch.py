@@ -1,4 +1,4 @@
-"""Multi-host launcher for pod-slice training runs.
+"""Multi-host launcher for pod-slice runs.
 
 The reference is strictly single-process (SURVEY.md §2); this is the
 TPU-native scale-out entry the new framework adds: each host runs the same
@@ -13,12 +13,68 @@ Usage (on every host of the slice, e.g. via `gcloud compute tpus tpu-vm ssh
 
 On TPU pods the coordinator address / process ids are auto-detected from the
 TPU metadata; on CPU/GPU clusters pass --coordinator/--num-processes/
---process-id explicitly.
+--process-id explicitly.  ``--backend cpu --local-devices K`` forms a
+K-virtual-CPU-device process (Gloo cross-process collectives) — that is how
+tests/test_multihost.py runs REAL multi-process clusters on one machine and
+pins them bit-for-bit against single-process runs.
 """
 from __future__ import annotations
 
 import argparse
+import json
 import time
+
+
+def run(
+    mesh,
+    config,
+    n_envs: int,
+    horizon: int,
+    repeats: int,
+    engine_kind: str = "engine",
+) -> dict:
+    """Reset + warm-up + timed rollouts on an existing mesh; returns metrics.
+
+    The exact op sequence (reset key 0, warm-up rollout key 1, timed rollout
+    keys 2..2+repeats) is fixed so a multi-process run is comparable
+    bit-for-bit with a single-process run of the same arguments: per-env PRNG
+    streams fold on the global env index (mesh.py), every reward is
+    integer-valued (score deltas, core/engine.py), and the final-state
+    checksum uses wraparound uint32 sums — all placement-invariant.
+    """
+    import jax
+
+    from tetris_gymnasium_tpu.parallel import mesh as pmesh
+
+    states, _ = pmesh.sharded_reset(
+        jax.random.PRNGKey(0), n_envs, config, mesh, obs="board"
+    )
+    # warm-up compile
+    states, tot_r, tot_d = pmesh.sharded_random_rollout(
+        states, jax.random.PRNGKey(1), config, mesh, horizon, engine_kind
+    )
+    jax.block_until_ready(tot_d)
+
+    t0 = time.perf_counter()
+    sum_r, sum_d = float(tot_r), int(tot_d)
+    for i in range(repeats):
+        states, tot_r, tot_d = pmesh.sharded_random_rollout(
+            states, jax.random.PRNGKey(2 + i), config, mesh, horizon, engine_kind
+        )
+        sum_r += float(tot_r)
+        sum_d += int(tot_d)
+    jax.block_until_ready(tot_d)
+    dt = time.perf_counter() - t0
+
+    return {
+        "n_devices": len(jax.devices()),
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "steps_per_sec": n_envs * horizon * repeats / dt,
+        "sum_reward": sum_r,
+        "sum_done": sum_d,
+        "checksum": pmesh.state_checksum(states, mesh),
+    }
 
 
 def main():
@@ -29,13 +85,51 @@ def main():
     p.add_argument("--coordinator", type=str, default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument(
+        "--backend",
+        choices=["auto", "cpu"],
+        default="auto",
+        help="'cpu' forces virtual CPU devices + Gloo collectives (testing)",
+    )
+    p.add_argument(
+        "--local-devices",
+        type=int,
+        default=None,
+        help="with --backend cpu: virtual CPU device count per process",
+    )
+    p.add_argument("--out", type=str, default=None, help="write metrics JSON here")
     args = p.parse_args()
 
     import os
 
     import jax
 
+    if args.backend == "cpu":
+        # Running under ``python -m`` the package import has ALREADY
+        # initialized a backend (the device piece tables are built at import),
+        # so jax_num_cpu_devices may be frozen by now.  The authoritative
+        # path is env vars at process spawn (JAX_PLATFORMS=cpu,
+        # JAX_NUM_CPU_DEVICES=K, JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo,
+        # as tests/test_multihost.py does); these updates cover direct
+        # script invocation and otherwise just VERIFY the runtime matches.
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        if args.local_devices:
+            try:
+                jax.config.update("jax_num_cpu_devices", args.local_devices)
+            except RuntimeError:
+                got = jax.local_device_count()
+                if got != args.local_devices:
+                    raise RuntimeError(
+                        f"backend already initialized with {got} local devices; "
+                        f"--local-devices {args.local_devices} requires "
+                        "JAX_NUM_CPU_DEVICES to be set at process spawn"
+                    )
+
     from tetris_gymnasium_tpu.parallel import mesh as pmesh
+    from tetris_gymnasium_tpu.utils.compilation import enable_persistent_cache
+
+    enable_persistent_cache()
 
     # Initialize the distributed runtime iff a multi-process context is
     # configured (explicit flags or pod/cluster env hints).  Inside that
@@ -62,8 +156,6 @@ def main():
     else:
         print("single-process run (no coordinator configured)")
 
-    import jax.numpy as jnp  # noqa: F401  (after distributed init)
-
     from tetris_gymnasium_tpu.config import EngineConfig
 
     config = EngineConfig(auto_reset=True)
@@ -72,29 +164,17 @@ def main():
     if jax.process_index() == 0:
         print(f"mesh: {n_dev} devices x {jax.process_count()} processes")
 
-    states, _ = pmesh.sharded_reset(
-        jax.random.PRNGKey(0), args.n_envs, config, m, obs="board"
-    )
-    # warm-up compile
-    states, tot_r, tot_d = pmesh.sharded_random_rollout(
-        states, jax.random.PRNGKey(1), config, m, args.horizon
-    )
-    jax.block_until_ready(tot_d)
+    metrics = run(m, config, args.n_envs, args.horizon, args.repeats)
 
-    t0 = time.perf_counter()
-    for i in range(args.repeats):
-        states, tot_r, tot_d = pmesh.sharded_random_rollout(
-            states, jax.random.PRNGKey(2 + i), config, m, args.horizon
-        )
-    jax.block_until_ready(tot_d)
-    dt = time.perf_counter() - t0
-
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f)
     if jax.process_index() == 0:
-        steps = args.n_envs * args.horizon * args.repeats
+        sps = metrics["steps_per_sec"]
         print(
-            f"{steps / dt:.3e} env-steps/s global "
-            f"({steps / dt / n_dev:.3e} per chip), "
-            f"sum reward {float(tot_r):.0f}, episodes {int(tot_d)}"
+            f"{sps:.3e} env-steps/s global ({sps / n_dev:.3e} per chip), "
+            f"sum reward {metrics['sum_reward']:.0f}, "
+            f"episodes {metrics['sum_done']}"
         )
 
 

@@ -73,6 +73,33 @@ def _sharded_engine_fns(config: EngineConfig, mesh: Mesh, obs: str):
     return reset_fn, step_fn
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_reset_fn(config: EngineConfig, mesh: Mesh, obs: str, n_envs: int):
+    """Jitted reset whose per-env keys are derived INSIDE the program.
+
+    ``fold_in(base, global_env_index)`` runs under the partitioner with a
+    replicated base key, so the keys (and therefore every trajectory) are
+    identical on any mesh shape and any process count — this is what makes
+    multi-host runs bit-comparable to single-process ones, and it avoids
+    materialising a host-global key array (which a multi-process runtime
+    cannot ``device_put`` from one host).
+    """
+    obs_fn = {"dict": engine.observe_dict, "board": engine.observe_board}[obs]
+
+    def reset(base_key):
+        idx = jnp.arange(n_envs, dtype=jnp.uint32)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(idx)
+        return jax.vmap(functools.partial(engine.reset, config=config, obs_fn=obs_fn))(
+            keys
+        )
+
+    return jax.jit(
+        reset,
+        in_shardings=(replicated(mesh),),
+        out_shardings=env_sharding(mesh),
+    )
+
+
 def sharded_reset(
     base_key: jnp.ndarray,
     n_envs: int,
@@ -81,8 +108,7 @@ def sharded_reset(
     obs: str = "board",
 ):
     """Reset ``n_envs`` flagship envs sharded over the mesh's env axis."""
-    keys = jax.device_put(batch_keys(base_key, n_envs), env_sharding(mesh))
-    return _sharded_engine_fns(config, mesh, obs)[0](keys)
+    return _sharded_reset_fn(config, mesh, obs, n_envs)(base_key)
 
 
 def sharded_step(states, actions, config: EngineConfig, mesh: Mesh, obs: str = "board"):
@@ -138,6 +164,39 @@ def sharded_random_rollout(
     """
     states = jax.device_put(states, env_sharding(mesh))
     return _sharded_rollout_fn(config, mesh, horizon, engine_kind)(states, rollout_key)
+
+
+@functools.lru_cache(maxsize=None)
+def _checksum_fn(mesh: Mesh):
+    def checksum(leaves):
+        def one(x):
+            x = jnp.asarray(x)
+            if x.dtype == jnp.float32:
+                # capture the exact bit pattern, not a lossy int cast
+                x = jax.lax.bitcast_convert_type(x, jnp.uint32)
+            else:
+                x = x.astype(jnp.uint32)
+            return jnp.sum(x.reshape(-1), dtype=jnp.uint32)
+
+        return [one(x) for x in leaves]
+
+    return jax.jit(checksum, out_shardings=replicated(mesh))
+
+
+def state_checksum(states, mesh: Mesh) -> dict:
+    """Placement-invariant ``uint32`` checksum of every field of a state pytree.
+
+    Each leaf is bit-viewed as ``uint32`` and summed with wraparound
+    arithmetic — associative and commutative, so the result is EXACTLY the
+    same no matter how the batch is sharded over devices or processes.  The
+    cross-device reduction is replicated on output, so every process of a
+    multi-host run can read it; equal dicts across mesh shapes certify
+    bit-identical global state.
+    """
+    flat, _ = jax.tree_util.tree_flatten_with_path(states)
+    paths = [jax.tree_util.keystr(p) for p, _ in flat]
+    sums = _checksum_fn(mesh)([x for _, x in flat])
+    return {p: int(s) for p, s in zip(paths, sums)}
 
 
 def initialize_distributed(**kwargs) -> None:

@@ -10,7 +10,6 @@ envs + SB3 buffer + torch learner.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Tuple
 
 import jax

@@ -16,7 +16,6 @@ the jit/pjit recipe, no hand-written collectives.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple, Tuple
 
 import jax
