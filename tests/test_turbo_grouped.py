@@ -124,3 +124,121 @@ def test_random_trajectories_match_flagship(cfg, terminate):
         np.testing.assert_array_equal(np.asarray(tobs), np.asarray(fobs), err_msg=f"obs step {step_i}")
         np.testing.assert_array_equal(np.asarray(tgs.mask).T, np.asarray(fgs.mask))
         assert_env_equal(tgs.env, fgs.env, cfg)
+
+
+# ---------------------------------------------------------------------------
+# mode="boards": binary per-candidate board images
+# ---------------------------------------------------------------------------
+
+
+def flagship_boards_binary(fobs, cfg):
+    """Flagship id-palette boards -> cropped binary occupancy ``[.., A, H, W]``.
+
+    The flagship/reference grouped obs is the full padded id-board
+    (ref: wrappers/grouped.py:67-72); the turbo boards mode emits binary
+    cropped playfields, so parity is pinned on occupancy after the same crop
+    the feature path uses (core/grouped.py:grouped_observation).
+    """
+    pad, H = cfg.padding, cfg.height
+    crop = np.asarray(fobs)[..., :H, pad:-pad]
+    return (crop > 0).astype(np.float32)
+
+
+@pytest.mark.parametrize("cfg", [CFG, CFG_NR], ids=["autoreset", "no-autoreset"])
+def test_boards_reset_matches_flagship(cfg):
+    fgs, fobs = grouped.batched_reset(
+        batch_keys(jax.random.PRNGKey(21), B), config=cfg, mode="boards"
+    )
+    tgs, tobs = turbo_grouped.reset(batch_keys(jax.random.PRNGKey(21), B), cfg, mode="boards")
+    assert tobs.shape == (B, cfg.width * 4, cfg.height, cfg.width)
+    np.testing.assert_array_equal(np.asarray(tgs.mask).T, np.asarray(fgs.mask))
+    np.testing.assert_array_equal(np.asarray(tobs), flagship_boards_binary(fobs, cfg))
+
+
+def test_boards_sentinels_present_and_match():
+    """A played board yields illegal (all-ones) and game-over (all-zeros)
+    candidates; the sentinels must match the flagship's after binarize."""
+    cfg = CFG_NR
+    fgs, _ = grouped.batched_reset(
+        batch_keys(jax.random.PRNGKey(23), B), config=cfg, mode="boards"
+    )
+    rng = np.random.default_rng(23)
+    for _ in range(8):
+        legal = np.asarray(fgs.mask)
+        acts = jnp.asarray(
+            [rng.choice(np.nonzero(legal[b])[0]) if legal[b].any() else 0 for b in range(B)],
+            dtype=jnp.int32,
+        )
+        fgs, fobs, *_ = grouped.batched_step(fgs, acts, config=cfg, mode="boards")
+    # at least one illegal candidate must exist across the batch (I/J pieces
+    # against the wall make frame-hits routine)
+    assert (np.asarray(fgs.mask) == 0).any()
+    tgs = to_turbo(fgs, cfg)
+    tobs, tmask = turbo_grouped.observation(tgs.env, cfg, mode="boards")
+    np.testing.assert_array_equal(np.asarray(tmask).T, np.asarray(fgs.mask))
+    np.testing.assert_array_equal(np.asarray(tobs), flagship_boards_binary(fobs, cfg))
+    # explicit sentinel check: every illegal candidate's board is all ones
+    tobs_np, mask_np = np.asarray(tobs), np.asarray(tmask).T
+    for b in range(B):
+        for a in np.nonzero(mask_np[b] == 0)[0]:
+            assert (tobs_np[b, a] == 1.0).all()
+
+
+@pytest.mark.parametrize("terminate", [True, False], ids=["term", "noop"])
+def test_boards_trajectories_match_flagship(terminate):
+    """Random placement rollouts in boards mode: rewards/done/lines/masks and
+    binarized observations equal every step, incl. the illegal-action
+    ``high`` sentinel obs."""
+    cfg = CFG
+    keys = batch_keys(jax.random.PRNGKey(29), B)
+    fgs, _ = grouped.batched_reset(
+        keys, config=cfg, mode="boards", terminate_on_illegal=terminate
+    )
+    tgs, _ = turbo_grouped.reset(keys, cfg, mode="boards")
+    tstep = jax.jit(
+        functools.partial(
+            turbo_grouped.step, config=cfg, mode="boards", terminate_on_illegal=terminate
+        )
+    )
+    rng = np.random.default_rng(31)
+    A = cfg.width * 4
+    high = float(cfg.height * cfg.width)
+    for step_i in range(25):
+        legal = np.asarray(fgs.mask)
+        acts = []
+        for b in range(B):
+            if rng.random() < 0.2:
+                acts.append(int(rng.integers(0, A)))
+            else:
+                options = np.nonzero(legal[b])[0]
+                acts.append(int(rng.choice(options)) if len(options) else 0)
+        was_illegal = np.asarray([legal[b, a] == 0 for b, a in enumerate(acts)])
+        acts = jnp.asarray(acts, dtype=jnp.int32)
+
+        fgs, fobs, frew, fdone, finfo = grouped.batched_step(
+            fgs, acts, config=cfg, mode="boards", terminate_on_illegal=terminate
+        )
+        tgs, tobs, trew, tdone, tinfo = tstep(tgs, acts)
+
+        np.testing.assert_array_equal(np.asarray(trew), np.asarray(frew), err_msg=f"step {step_i}")
+        np.testing.assert_array_equal(np.asarray(tdone), np.asarray(fdone))
+        np.testing.assert_array_equal(
+            np.asarray(tinfo["lines_cleared"]), np.asarray(finfo["lines_cleared"])
+        )
+        np.testing.assert_array_equal(np.asarray(tgs.mask).T, np.asarray(fgs.mask))
+        assert_env_equal(tgs.env, fgs.env, cfg)
+
+        tobs_np, fobs_np = np.asarray(tobs), np.asarray(fobs)
+        if terminate:
+            for b in range(B):
+                if was_illegal[b]:
+                    # both engines emit the flat `high` sentinel obs
+                    assert (tobs_np[b] == high).all()
+                    assert (fobs_np[b] == high).all()
+                else:
+                    np.testing.assert_array_equal(
+                        tobs_np[b], flagship_boards_binary(fobs_np[b], cfg),
+                        err_msg=f"obs step {step_i} env {b}",
+                    )
+        else:
+            np.testing.assert_array_equal(tobs_np, flagship_boards_binary(fobs_np, cfg))

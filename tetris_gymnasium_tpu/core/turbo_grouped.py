@@ -15,9 +15,14 @@ feature observations, same rewards/terminations/lines from the same keys),
 which transitively inherits the golden-CSV and literal-mask parity of the
 flagship grouped suite.
 
-Only ``mode="features"`` observations are produced here (the layout every
-grouped training workload consumes, ref: examples/train_lin_grouped.py);
-board-image candidates belong to the flagship grouped engine.
+Observation modes: ``mode="features"`` (the layout every grouped training
+workload consumes, ref: examples/train_lin_grouped.py) and ``mode="boards"``
+— per-candidate BINARY playfield images ``[B, A, H, W]`` unpacked straight
+from the packed candidate rows (the reference grouped env's default obs,
+ref: tetris_gymnasium/wrappers/grouped.py:67-72, 124-207, with the same
+all-ones / all-zeros / ``high`` sentinels).  The packed occupancy rows carry
+no per-cell piece ids, so boards are binary here; the flagship grouped
+engine remains the path for id-palette boards.
 """
 from __future__ import annotations
 
@@ -90,15 +95,15 @@ def _candidate_geometry(t, config: EngineConfig, piece, rotation):
     return r, x
 
 
-def placements(
-    state: TurboState, config: EngineConfig, pieces: PieceSet = PIECES
+def _candidate_rows(
+    state: TurboState, config: EngineConfig, pieces: PieceSet
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Evaluate all candidates: -> (features [F, A, B], mask [A, B],
-    game_over [A, B], lines [A, B]).
+    """Drop/lock/clear every candidate: -> (cleared rows ``uint32[H, A, B]``,
+    frame_hit ``bool[A, B]``, stack_hit ``bool[A, B]``, lines ``int32[A, B]``).
 
     Flagship-candidate semantics (core/grouped.py:_candidate): drop from the
     top, legality = no bedrock overlap at rest, game-over = stack overlap at
-    rest; sentinel features are those of the all-ones / all-zeros boards.
+    rest (ref: grouped.py:101-122, 148-181).
     """
     t = turbo._tables_for(pieces)
     S = t.size
@@ -124,11 +129,22 @@ def placements(
 
     stamped = turbo._project(rows_ab, sp, y, S)
     cleared, lines = turbo._clear_lines(stamped, config, max_clear=4)
+    lines = jnp.where(frame_hit | stack_hit, 0, lines)
+    return cleared, frame_hit, stack_hit, lines
+
+
+def placements(
+    state: TurboState, config: EngineConfig, pieces: PieceSet = PIECES
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Evaluate all candidates: -> (features [F, A, B], mask [A, B],
+    game_over [A, B], lines [A, B]).
+
+    Sentinel features are those of the all-ones / all-zeros boards
+    (ref: grouped.py:164-177 applied through the feature wrapper).
+    """
+    cleared, frame_hit, stack_hit, lines = _candidate_rows(state, config, pieces)
 
     feats = _features_from_rows(cleared, config)  # [F, A, B]
-    # Sentinels follow the reference: illegal -> all-ones board (heights H,
-    # no holes/bumpiness), game-over placement -> all-zeros board
-    # (ref: grouped.py:164-177 applied through the feature wrapper).
     W = config.width
     ones_feats = jnp.asarray(
         [config.height] * (W + 1) + [0, 0], dtype=jnp.float32
@@ -137,29 +153,68 @@ def placements(
     feats = jnp.where(stack_hit[None], jnp.float32(0), feats)
 
     mask = (~frame_hit).astype(jnp.float32)
-    lines = jnp.where(frame_hit | stack_hit, 0, lines)
     return feats, mask, stack_hit, lines
 
 
-def observation(
+def placement_boards(
     state: TurboState, config: EngineConfig, pieces: PieceSet = PIECES
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(features ``float32[B, A, F]``, mask ``float32[A, B]``).
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Evaluate all candidates as BINARY playfield boards.
 
+    -> (boards ``float32[H, W, A, B]``, mask [A, B], game_over [A, B],
+    lines [A, B]).  Boards are the post-lock post-clear playfield occupancy
+    unpacked from the packed candidate rows; sentinels follow the reference
+    (illegal -> all ones, game-over placement -> all zeros,
+    ref: grouped.py:164-177).  Binary because packed rows carry no piece ids
+    — the flagship grouped engine serves id-palette boards.
+    """
+    cleared, frame_hit, stack_hit, lines = _candidate_rows(state, config, pieces)
+
+    H, pad, W = config.height, config.padding, config.width
+    cols = [
+        ((cleared[:H] >> jnp.uint32(w)) & 1).astype(jnp.float32)
+        for w in range(pad, pad + W)
+    ]
+    boards = jnp.stack(cols, axis=1)  # [H, W, A, B]
+    boards = jnp.where(frame_hit[None, None], jnp.float32(1), boards)
+    boards = jnp.where(stack_hit[None, None], jnp.float32(0), boards)
+
+    mask = (~frame_hit).astype(jnp.float32)
+    return boards, mask, stack_hit, lines
+
+
+def observation(
+    state: TurboState,
+    config: EngineConfig,
+    pieces: PieceSet = PIECES,
+    mode: str = "features",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(observation, mask ``float32[A, B]``) for the current state.
+
+    ``mode='features'``: ``float32[B, A, F]`` per-candidate feature vectors.
+    ``mode='boards'``: ``float32[B, A, H, W]`` per-candidate binary boards.
     The observation moves the batch axis to the front at the NN boundary
     (like ``turbo.observe_board``); the mask stays batch-minor for the
     engine's internal use — callers wanting ``[B, A]`` transpose it.
     """
-    feats, mask, _, _ = placements(state, config, pieces)
-    return jnp.transpose(feats, (2, 1, 0)), mask
+    if mode == "features":
+        feats, mask, _, _ = placements(state, config, pieces)
+        return jnp.transpose(feats, (2, 1, 0)), mask
+    if mode == "boards":
+        boards, mask, _, _ = placement_boards(state, config, pieces)
+        return jnp.transpose(boards, (3, 2, 0, 1)), mask
+    raise ValueError(f"unknown turbo grouped observation mode: {mode}")
 
 
 def reset(
-    keys: jnp.ndarray, config: EngineConfig, pieces: PieceSet = PIECES
+    keys: jnp.ndarray,
+    config: EngineConfig,
+    pieces: PieceSet = PIECES,
+    mode: str = "features",
 ) -> Tuple[TurboGroupedState, jnp.ndarray]:
     """Fresh grouped batch from per-env keys ``[B, 2]``: -> (state, obs)."""
     env = turbo.init(keys, config, pieces)
-    obs, mask = observation(env, config, pieces)
+    obs, mask = observation(env, config, pieces, mode)
     return TurboGroupedState(env=env, mask=mask), obs
 
 
@@ -169,6 +224,7 @@ def step(
     config: EngineConfig,
     pieces: PieceSet = PIECES,
     rewards: RewardsMapping = REWARDS,
+    mode: str = "features",
     terminate_on_illegal: bool = True,
 ) -> Tuple[TurboGroupedState, jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """One placement action per env, ``action`` is ``int32[B]``.
@@ -222,10 +278,11 @@ def step(
     reward = jnp.where(illegal, jnp.float32(rewards.invalid_action), drop_reward)
     lines = jnp.where(illegal, ill_lines, drop_info["lines_cleared"])
 
-    obs, mask = observation(new_env, config, pieces)
+    obs, mask = observation(new_env, config, pieces, mode)
     if terminate_on_illegal:
         high = jnp.float32(config.height * config.width)
-        obs = jnp.where(illegal[:, None, None], high, obs)
+        ill_b = illegal.reshape((-1,) + (1,) * (obs.ndim - 1))  # [B, 1, ...]
+        obs = jnp.where(ill_b, high, obs)
 
     new_gstate = TurboGroupedState(env=new_env, mask=mask)
     info = {"lines_cleared": lines, "action_mask": mask, "score": new_env.score}
@@ -233,16 +290,18 @@ def step(
 
 
 @functools.lru_cache(maxsize=None)
-def jit_step(config: EngineConfig, terminate_on_illegal: bool = True):
+def jit_step(
+    config: EngineConfig, terminate_on_illegal: bool = True, mode: str = "features"
+):
     """Cached jitted batched grouped step for the default piece set."""
     return jax.jit(
         functools.partial(
-            step, config=config, terminate_on_illegal=terminate_on_illegal
+            step, config=config, mode=mode, terminate_on_illegal=terminate_on_illegal
         )
     )
 
 
 @functools.lru_cache(maxsize=None)
-def jit_reset(config: EngineConfig):
+def jit_reset(config: EngineConfig, mode: str = "features"):
     """Cached jitted batched grouped reset for the default piece set."""
-    return jax.jit(functools.partial(reset, config=config))
+    return jax.jit(functools.partial(reset, config=config, mode=mode))
