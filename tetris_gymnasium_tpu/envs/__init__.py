@@ -7,10 +7,11 @@ no ``max_episode_steps``, as in the reference).
 from gymnasium.envs.registration import register
 
 from tetris_gymnasium_tpu.envs.gym_env import Tetris
+from tetris_gymnasium_tpu.envs.vector_env import TetrisVectorEnv
 
 register(
     id="tetris_gymnasium_tpu/Tetris",
     entry_point="tetris_gymnasium_tpu.envs.gym_env:Tetris",
 )
 
-__all__ = ["Tetris"]
+__all__ = ["Tetris", "TetrisVectorEnv"]
