@@ -194,3 +194,67 @@ def test_shuffle_batched_matches_scalar():
         k_s, perm_s = orng.shuffle(jnp.asarray(keys[i]), 7)
         np.testing.assert_array_equal(np.asarray(perm_b[:, i]), np.asarray(perm_s))
         np.testing.assert_array_equal(np.asarray(k_b[:, i]), np.asarray(k_s))
+
+
+# ---------------------------------------------------------------------------
+# max_clear envelope (board surgery beyond the engine-reachable invariant)
+# ---------------------------------------------------------------------------
+
+
+def _surgery_states(config, n_full_rows=5):
+    """Flagship + turbo batch (B=2) with ``n_full_rows`` pre-filled rows —
+    beyond the engine-reachable envelope (the reference's own test style is
+    direct board surgery, ref: tests/test_base_env/test_base_env_movement.py)."""
+    keys = batch_keys(jax.random.PRNGKey(77), 2)
+    es = _flagship_batch(keys, config)
+    board = np.array(es.board)  # copy: np.asarray of a jax array is read-only
+    pad, H, W = config.padding, config.height, config.width
+    board[:, H - n_full_rows : H, pad : pad + W] = 2  # 5 full playfield rows
+    es = es.replace(board=jnp.asarray(board))
+    return es, turbo.from_flagship(es, config)
+
+
+def test_surgery_five_rows_clears_correctly_with_max_clear_override():
+    """Hard-dropping onto 5 pre-filled rows: flagship clears all 5; turbo
+    matches when told the envelope (max_clear=height)."""
+    config = EngineConfig(auto_reset=False)
+    es, ts = _surgery_states(config)
+    drop = jnp.full((2,), 5, jnp.int32)
+
+    es2, _, _, _, einfo = engine.batched_step(es, drop, config=config, obs="board")
+    ts2, _, _, _, tinfo = jax.jit(
+        functools.partial(turbo.step, config=config, max_clear=config.height)
+    )(ts, drop)
+
+    assert (np.asarray(einfo["lines_cleared"]) >= 5).all()
+    np.testing.assert_array_equal(
+        np.asarray(tinfo["lines_cleared"]), np.asarray(einfo["lines_cleared"])
+    )
+    _assert_states_match(ts2, es2, "surgery")
+
+
+def test_surgery_overflow_raises_under_debug_flag(monkeypatch):
+    """Default max_clear=4 cannot represent a 5-row clear; with
+    TETRIS_TPU_DEBUG=1 the engine fails loudly instead of compacting wrong."""
+    monkeypatch.setenv("TETRIS_TPU_DEBUG", "1")
+    config = EngineConfig(auto_reset=False)
+    _, ts = _surgery_states(config)
+    drop = jnp.full((2,), 5, jnp.int32)
+    with pytest.raises(Exception, match="max_clear"):
+        out = jax.jit(functools.partial(turbo.step, config=config))(ts, drop)
+        jax.block_until_ready(out)
+
+
+def test_surgery_within_envelope_is_silent_under_debug_flag(monkeypatch):
+    """4 pre-filled rows stay inside the envelope: debug mode must not fire."""
+    monkeypatch.setenv("TETRIS_TPU_DEBUG", "1")
+    config = EngineConfig(auto_reset=False)
+    es, ts = _surgery_states(config, n_full_rows=4)
+    drop = jnp.full((2,), 5, jnp.int32)
+    es2, _, _, _, einfo = engine.batched_step(es, drop, config=config, obs="board")
+    ts2, _, _, _, tinfo = jax.jit(functools.partial(turbo.step, config=config))(ts, drop)
+    jax.block_until_ready(ts2)
+    np.testing.assert_array_equal(
+        np.asarray(tinfo["lines_cleared"]), np.asarray(einfo["lines_cleared"])
+    )
+    _assert_states_match(ts2, es2, "surgery4")

@@ -40,6 +40,7 @@ rows (board surgery) belong on the flagship engine, or pass
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -241,6 +242,22 @@ def _clear_lines(
     inner = rows[:height]
     filled = (inner & pm) == pm  # [height, *batch]
     n = jnp.sum(filled.astype(jnp.int32), axis=0)  # [*batch]
+
+    # Envelope guard: engine-reachable states always satisfy n <= 4 (a piece
+    # spans <= 4 rows and full rows cannot persist between locks), but a
+    # hand-built board (the reference test suite's own style is board
+    # surgery) can exceed it and would compact silently wrong.  With
+    # TETRIS_TPU_DEBUG=1 the violation raises at run time instead.
+    if max_clear < height and os.environ.get("TETRIS_TPU_DEBUG"):
+        def _check_envelope(over):
+            if over:
+                raise ValueError(
+                    f"turbo _clear_lines: more than max_clear={max_clear} "
+                    "simultaneously-full rows — hand-built board? pass "
+                    "max_clear=config.height or use the flagship engine"
+                )
+
+        jax.debug.callback(_check_envelope, jnp.any(n > max_clear))
 
     # sh[h] = filled rows strictly below h (reverse exclusive cumsum)
     below_incl = jnp.cumsum(filled[::-1].astype(jnp.int32), axis=0)[::-1]

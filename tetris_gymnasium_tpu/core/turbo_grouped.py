@@ -96,7 +96,7 @@ def _candidate_geometry(t, config: EngineConfig, piece, rotation):
 
 
 def _candidate_rows(
-    state: TurboState, config: EngineConfig, pieces: PieceSet
+    state: TurboState, config: EngineConfig, pieces: PieceSet, max_clear: int = 4
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Drop/lock/clear every candidate: -> (cleared rows ``uint32[H, A, B]``,
     frame_hit ``bool[A, B]``, stack_hit ``bool[A, B]``, lines ``int32[A, B]``).
@@ -128,7 +128,7 @@ def _candidate_rows(
     stack_hit = rest_hit & ~frame_hit
 
     stamped = turbo._project(rows_ab, sp, y, S)
-    cleared, lines = turbo._clear_lines(stamped, config, max_clear=4)
+    cleared, lines = turbo._clear_lines(stamped, config, max_clear=max_clear)
     lines = jnp.where(frame_hit | stack_hit, 0, lines)
     return cleared, frame_hit, stack_hit, lines
 
