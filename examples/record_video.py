@@ -1,0 +1,57 @@
+"""Record one episode of a policy as an upscaled GIF/MP4.
+
+Counterpart of the reference's RecordVideo usage
+(ref: examples/train_cnn.py:130-135): one command, one visual artifact.
+
+    python examples/record_video.py --out episode.gif --seed 3
+
+With ``--checkpoint`` it loads DQN params saved by ``utils.checkpoint`` and
+plays greedily; otherwise the policy is uniform random.
+"""
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="episode.gif")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps", type=int, default=300)
+    p.add_argument("--fps", type=int, default=8)
+    p.add_argument("--upscale", type=int, default=10)
+    p.add_argument("--checkpoint", default=None, help="DQN params (utils.checkpoint)")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tetris_gymnasium_tpu.config import EngineConfig
+    from tetris_gymnasium_tpu.utils import video
+
+    policy = None
+    if args.checkpoint:
+        from tetris_gymnasium_tpu.models import QNetworkCNN
+        from tetris_gymnasium_tpu.utils import checkpoint
+
+        net = QNetworkCNN()
+        params = checkpoint.load(args.checkpoint)
+
+        @jax.jit
+        def greedy(obs):
+            return jnp.argmax(net.apply(params, obs[None]), axis=-1)[0]
+
+        def policy(obs, key):  # noqa: ARG001 — greedy ignores the key
+            return greedy(obs)
+
+    frames = video.record_episode(
+        policy_fn=policy,
+        config=EngineConfig(),
+        seed=args.seed,
+        max_steps=args.max_steps,
+        upscale_factor=args.upscale,
+    )
+    path = video.write_video(frames, args.out, fps=args.fps)
+    print(f"wrote {len(frames)} frames to {path} ({frames.shape[1]}x{frames.shape[2]})")
+
+
+if __name__ == "__main__":
+    main()

@@ -52,3 +52,28 @@ def test_uniform_randomizer_covers_all_pieces():
             s = engine.init_state(jax.random.fold_in(s.key, 1), cfg)
         seen.add(int(s.piece))
     assert seen == set(range(7))
+
+
+def test_record_episode_and_write_video(tmp_path):
+    """One-command visual artifact: frames roll out, a GIF lands on disk and
+    reads back with the right geometry (ref analog: RecordVideo,
+    examples/train_cnn.py:130-135)."""
+    import imageio
+    import numpy as np
+
+    from tetris_gymnasium_tpu.config import EngineConfig
+    from tetris_gymnasium_tpu.utils import video
+
+    config = EngineConfig()
+    frames = video.record_episode(
+        config=config, seed=2, max_steps=40, upscale_factor=4
+    )
+    assert frames.dtype == np.uint8 and frames.ndim == 4 and frames.shape[3] == 3
+    assert len(frames) >= 2
+    # engine RGB frame is (padded H) x (padded W + side panel), upscaled 4x
+    assert frames.shape[1] % 4 == 0 and frames.shape[2] % 4 == 0
+    assert (frames[0] != frames[-1]).any(), "episode never changed the screen"
+
+    out = video.write_video(frames, str(tmp_path / "ep.gif"), fps=8)
+    back = imageio.mimread(out)
+    assert len(back) == len(frames)
