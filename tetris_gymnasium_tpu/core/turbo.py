@@ -588,15 +588,19 @@ def observe_board(state: TurboState, config: EngineConfig, pieces: PieceSet = PI
     ap = _project(jnp.zeros_like(state.rows), sp, state.y, t.size)
     ap = jnp.where(state.game_over, jnp.uint32(0), ap)
 
-    cols = []
-    for w in range(pad, pad + W):
-        stack = ((state.rows[:H] >> jnp.uint32(w)) & 1).astype(jnp.int8)
-        active = ((ap[:H] >> jnp.uint32(w)) & 1).astype(jnp.int8)
-        # flagship stamps by *addition* (project of -1 onto the binary board,
-        # ref: envs/tetris_fn.py:137-158): overlap yields 0, not -1
-        cols.append(stack - active)
-    img = jnp.stack(cols, axis=1)  # [H, W, B]
-    return jnp.transpose(img, (2, 0, 1))
+    # Layout: transpose the PACKED uint32 words first ([H, B] -> [B, H],
+    # 32x less data than an unpacked-int8 transpose), then broadcast-unpack
+    # the playfield bits along a fresh W axis — the profile showed the
+    # per-column unpack + int8 [H, W, B] -> [B, H, W] transpose costing more
+    # than the env step itself (docs/scale/training_perf.md).
+    shifts = jnp.arange(pad, pad + W, dtype=jnp.uint32)  # [W]
+    stack_bt = state.rows[:H].T[:, :, None]  # uint32 [B, H, 1]
+    active_bt = ap[:H].T[:, :, None]
+    stack = ((stack_bt >> shifts) & 1).astype(jnp.int8)  # [B, H, W]
+    active = ((active_bt >> shifts) & 1).astype(jnp.int8)
+    # flagship stamps by *addition* (project of -1 onto the binary board,
+    # ref: envs/tetris_fn.py:137-158): overlap yields 0, not -1
+    return stack - active
 
 
 def heights(state: TurboState, config: EngineConfig) -> jnp.ndarray:
