@@ -129,17 +129,23 @@ def bench_actor_feed(config: EngineConfig, n_envs: int, horizon: int, repeats: i
     return n_envs * horizon * repeats / elapsed
 
 
-def bench_grouped(config: EngineConfig, n_envs: int, horizon: int, repeats: int):
+def bench_grouped(
+    config: EngineConfig, n_envs: int, horizon: int, repeats: int, mode: str = "features"
+):
     """Config 4: grouped placement enumeration/step, masked-random actions.
 
     Runs the turbo grouped engine (flagship-equivalent trajectories,
     tests/test_turbo_grouped.py): all ``width*4`` candidates per env are a
-    trailing batch axis of the bit-packed kernels.
+    trailing batch axis of the bit-packed kernels.  ``mode="boards"``
+    additionally emits per-candidate binary board images (the reference
+    grouped default obs, ref: wrappers/grouped.py:67-72).
     """
     gconfig = EngineConfig(gravity_enabled=False, auto_reset=True)
     n_actions = gconfig.width * 4
     keys = batch_keys(jax.random.PRNGKey(3), n_envs)
-    gstates, _ = jax.jit(functools.partial(turbo_grouped.reset, config=gconfig))(keys)
+    gstates, _ = jax.jit(
+        functools.partial(turbo_grouped.reset, config=gconfig, mode=mode)
+    )(keys)
 
     def rollout(gstates, key):
         def one(carry, _):
@@ -148,8 +154,9 @@ def bench_grouped(config: EngineConfig, n_envs: int, horizon: int, repeats: int)
             k, u = orng.uniform(k, shape=(n_actions,))
             scores = gs.mask * (1.0 + u[:, None])  # mask is [A, B]
             a = jnp.argmax(scores, axis=0).astype(jnp.int32)
-            gs2, _, r, d, _ = turbo_grouped.step(gs, a, config=gconfig)
-            return (gs2, k, tot_r + jnp.sum(r)), None
+            gs2, obs, r, d, _ = turbo_grouped.step(gs, a, config=gconfig, mode=mode)
+            # consume the observation so boards mode can't be dead-code'd
+            return (gs2, k, tot_r + jnp.sum(r) + 0.0 * obs.reshape(-1)[0]), None
 
         (final, _, tot_r), _ = jax.lax.scan(
             one, (gstates, key, jnp.float32(0)), None, length=horizon
@@ -250,6 +257,12 @@ def main():
             (
                 "grouped_placements_per_sec",
                 lambda: bench_grouped(config, 4096, 32, max(repeats // 2, 1)),
+            ),
+            (
+                "grouped_boards_placements_per_sec",
+                lambda: bench_grouped(
+                    config, 4096, 32, max(repeats // 2, 1), mode="boards"
+                ),
             ),
             (
                 "ppo_env_steps_per_sec",

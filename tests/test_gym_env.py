@@ -135,3 +135,28 @@ def test_random_play_reaches_game_over():
             break
     assert term, "random play never reached game over in 10k steps"
     env.close()
+
+
+def test_custom_action_mapping_must_be_bijective():
+    """Duplicate or out-of-range custom action ids fail at construction
+    instead of silently overwriting table slots (round-2 review weak #6)."""
+    import pytest
+
+    from tetris_gymnasium_tpu.config import ActionsMapping
+    from tetris_gymnasium_tpu.envs.gym_env import Tetris
+
+    with pytest.raises(ValueError, match="distinct"):
+        Tetris(actions_mapping=ActionsMapping(move_left=1, move_right=1))
+    with pytest.raises(ValueError, match="0..7"):
+        Tetris(actions_mapping=ActionsMapping(hard_drop=11))
+
+    # a legal permutation still works and translates correctly
+    amap = ActionsMapping(
+        move_left=7, move_right=6, move_down=5, rotate_clockwise=4,
+        rotate_counterclockwise=3, hard_drop=2, swap=1, no_op=0,
+    )
+    env = Tetris(actions_mapping=amap)
+    obs, _ = env.reset(seed=0)
+    x0 = int(env.state.x)
+    env.step(7)  # user id 7 = move_left
+    assert int(env.state.x) == x0 - 1

@@ -51,6 +51,53 @@ def test_ppo_curve_beats_random():
     assert recs[-1]["reward_per_step"] > 2 * recs[0]["reward_per_step"]
 
 
+def test_grouped_dqn_learns_live_micro():
+    """ALWAYS-ON learning gate (~15 s on CPU): train a tiny grouped DQN from
+    scratch on a 6x8 board and assert the line-clear rate strictly exceeds
+    the random-policy rate of the first chunks (epsilon ~= 1).  The committed
+    curves above are the full-scale evidence; this catches learning-path
+    regressions in CI (VERDICT r2 #8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tetris_gymnasium_tpu.config import EngineConfig
+    from tetris_gymnasium_tpu.models.networks import QMLP
+    from tetris_gymnasium_tpu.rl import grouped_dqn
+
+    env_config = EngineConfig(
+        width=6, height=8, gravity_enabled=False, auto_reset=True
+    )
+    cfg = grouped_dqn.GroupedDQNConfig(
+        buffer_size=4096, batch_size=128, exploration_steps=250,
+        learning_starts=64, target_update_every=64,
+    )
+    net = QMLP()
+    ts = grouped_dqn.init_grouped_dqn_state(
+        jax.random.PRNGKey(0), 64, env_config, cfg, net
+    )
+    train_step = grouped_dqn.make_train_step(env_config, cfg, net)
+
+    @jax.jit
+    def chunk(ts):
+        def one(c, _):
+            c, m = train_step(c)
+            return c, m["lines_cleared"]
+
+        ts, lines = jax.lax.scan(one, ts, None, length=50)
+        return ts, jnp.sum(lines)
+
+    totals = []
+    for _ in range(10):
+        ts, lines = chunk(ts)
+        totals.append(float(lines))
+    random_rate = sum(totals[:3]) / 3  # epsilon ~= 1: random placements
+    learned_rate = sum(totals[-3:]) / 3
+    assert learned_rate > 3 * max(random_rate, 1.0), (
+        f"no learning: random {random_rate} -> learned {learned_rate} "
+        f"lines per 50-step chunk ({totals})"
+    )
+
+
 @pytest.mark.skipif(
     not os.environ.get("TETRIS_TPU_SLOW_TESTS"),
     reason="live training acceptance (set TETRIS_TPU_SLOW_TESTS=1; ~15 min on CPU)",

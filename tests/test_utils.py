@@ -77,3 +77,24 @@ def test_record_episode_and_write_video(tmp_path):
     out = video.write_video(frames, str(tmp_path / "ep.gif"), fps=8)
     back = imageio.mimread(out)
     assert len(back) == len(frames)
+
+
+def test_docs_site_builds(tmp_path):
+    """The docs build (docs/build.py) produces a complete navigable site
+    from the markdown tree (ref analog: the Sphinx CI build the reference
+    has and this repo's round-2 review flagged as missing)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "docs_build",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), "docs", "build.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    n = mod.build(str(tmp_path))
+    assert n >= 20, f"only {n} pages built"
+    index = (tmp_path / "index.html").read_text()
+    assert "scale/multihost.html" in index and ".md" not in index.split("<main>")[1]
+    page = (tmp_path / "scale" / "training_perf.html").read_text()
+    assert 'href="../index.html"' in page and "<table>" in page

@@ -187,10 +187,12 @@ def step(
 
     # Under auto_reset the inner engine already restarts drop-terminated games;
     # the illegal-action termination path (which bypasses the engine step) must
-    # restart here too so a training loop never steps a dead env.
+    # restart here too so a training loop never steps a dead env.  Same key
+    # discipline as the engine's own auto-reset (engine.step): the counter
+    # RNG just keeps streaming — one RNG family end to end (round-2 review
+    # weak #5; previously this path detoured through a threefry split).
     if config.auto_reset and terminate_on_illegal:
-        reset_key, carry = jax.random.split(new_env.key)
-        fresh = engine.init_state(reset_key, config, pieces).replace(key=carry)
+        fresh = engine.init_state(new_env.key, config, pieces)
         new_env = select_tree(illegal, fresh, new_env)
 
     obs, mask = grouped_observation(new_env, config, pieces, mode)

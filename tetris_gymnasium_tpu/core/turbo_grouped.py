@@ -256,15 +256,11 @@ def step(
     if terminate_on_illegal:
         ill_env, ill_done = env, jnp.ones_like(illegal)
         ill_lines = jnp.zeros_like(env.lines)
-        # flagship parity: the illegal-terminated env restarts under
-        # auto_reset via a threefry split of its key (core/grouped.py:190-195)
+        # flagship parity: illegal-terminated envs restart under auto_reset by
+        # continuing the counter-RNG stream, exactly like the engine's own
+        # auto-reset path (turbo.step / core/grouped.py step).
         if config.auto_reset:
-            keys_b = env.key.T  # [B, 2] legacy-format keys
-            reset_key, carry = jnp.moveaxis(
-                jax.vmap(lambda k: jax.random.split(k))(keys_b), 1, 0
-            )
-            fresh = turbo._init_from_key(reset_key.T, config, pieces)
-            fresh = fresh.replace(key=carry.T)
+            fresh = turbo._init_from_key(env.key, config, pieces)
             ill_env = select_tree(illegal, fresh, ill_env)
     else:
         noop_a = jnp.full_like(action, ACTIONS.no_op)

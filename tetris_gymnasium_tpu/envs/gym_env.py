@@ -160,15 +160,28 @@ class Tetris(gym.Env):
 
         # Custom action numberings (ref: tetris.py:98 `actions_mapping` kwarg)
         # are a host-side translation: user id -> the engine's canonical id.
+        # The mapping must be a bijection of 0..7 — a duplicate or
+        # out-of-range id would silently overwrite another action's slot
+        # (round-2 review weak #6), so validate before building the table.
         defaults = ActionsMapping()
-        self._action_table = np.zeros(8, dtype=np.int32)
-        for name in (
+        action_names = (
             "move_left", "move_right", "move_down", "rotate_clockwise",
             "rotate_counterclockwise", "hard_drop", "swap", "no_op",
-        ):
-            self._action_table[getattr(actions_mapping, name) % 8] = getattr(
-                defaults, name
-            )
+        )
+        user_ids = {name: int(getattr(actions_mapping, name)) for name in action_names}
+        bad = {n: i for n, i in user_ids.items() if not 0 <= i < 8}
+        if bad:
+            raise ValueError(f"actions_mapping ids must be in 0..7, got {bad}")
+        if len(set(user_ids.values())) != 8:
+            dupes = {
+                i: [n for n, j in user_ids.items() if j == i]
+                for i in set(user_ids.values())
+                if sum(j == i for j in user_ids.values()) > 1
+            }
+            raise ValueError(f"actions_mapping ids must be distinct, got {dupes}")
+        self._action_table = np.zeros(8, dtype=np.int32)
+        for name in action_names:
+            self._action_table[user_ids[name]] = getattr(defaults, name)
 
         if pieces is PIECES:
             self._step = engine.jit_step(cfg, rewards=rewards_mapping)
@@ -214,7 +227,11 @@ class Tetris(gym.Env):
         """One engine step; returns (obs, reward, terminated, truncated, info)."""
         if self.state is None:
             raise RuntimeError("Call reset() before step().")
-        engine_action = self._action_table[int(action) % 8] if 0 <= int(action) < 8 else np.int32(action)
+        # out-of-range ids reach the engine untranslated: a branch-free no-op
+        # there, like the reference's unmatched if/elif (ref: tetris.py:223-256)
+        engine_action = (
+            self._action_table[int(action)] if 0 <= int(action) < 8 else np.int32(action)
+        )
         self.state, obs, reward, done, info = self._step(
             self.state, np.int32(engine_action)
         )

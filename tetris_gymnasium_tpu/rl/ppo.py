@@ -42,6 +42,16 @@ class PPOConfig(NamedTuple):
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     learning_rate: float = 2.5e-4
+    # Minibatch shuffle granularity: samples move in contiguous blocks of
+    # this many adjacent envs (the batch axis is minor in the flattened
+    # trajectory, so a block = one timestep x `shuffle_block` independent env
+    # streams).  Per-sample random gathers of the observation tensor cost 7x
+    # contiguous reads on TPU (58 ms vs 8 ms per epoch at 8192x64 — see
+    # docs/scale/training_perf.md); block-granular shuffling makes the
+    # gather near-streaming while every epoch still sees a fresh uniform
+    # permutation of blocks.  1 = exact CleanRL per-sample shuffle
+    # (ref: train_ppo.py:300-305).
+    shuffle_block: int = 64
 
 
 @struct.dataclass
@@ -169,22 +179,35 @@ def make_train_step(
         _, last_value = net.apply(ts.params, last_obs)
         advantages, targets = _gae(ppo, traj, last_value)
 
-        # -- flatten [T, B] -> [T*B] -----------------------------------------
+        # -- flatten [T, B] -> [n_blocks, block] ------------------------------
+        # Sample index = t * B + b, so a shuffle block of `shuffle_block`
+        # consecutive samples is `shuffle_block` adjacent (independent) env
+        # streams at one timestep.
         n = ppo.rollout_len * last_obs.shape[0]
-        flat = jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), traj)
-        adv_f = advantages.reshape(n)
-        tgt_f = targets.reshape(n)
+        block = max(1, min(ppo.shuffle_block, n // ppo.n_minibatches))
+        if n % (block * ppo.n_minibatches):
+            raise ValueError(
+                f"rollout samples ({n}) must divide into n_minibatches "
+                f"({ppo.n_minibatches}) x shuffle_block ({block})"
+            )
+        n_blocks = n // block
+        flat = jax.tree.map(
+            lambda x: x.reshape((n_blocks, block) + x.shape[2:]), traj
+        )
+        adv_f = advantages.reshape(n_blocks, block)
+        tgt_f = targets.reshape(n_blocks, block)
+        merge = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
 
         def epoch(carry, _):
             params, opt_state, key = carry
             key, perm_key = jax.random.split(key)
-            perm = jax.random.permutation(perm_key, n)
+            perm = jax.random.permutation(perm_key, n_blocks)
 
-            def minibatch(carry2, idx):
+            def minibatch(carry2, bidx):
                 params, opt_state = carry2
-                mb = jax.tree.map(lambda x: x[idx], flat)
+                mb = jax.tree.map(lambda x: merge(x[bidx]), flat)
                 grads, aux = jax.grad(loss_fn, has_aux=True)(
-                    params, mb, adv_f[idx], tgt_f[idx]
+                    params, mb, merge(adv_f[bidx]), merge(tgt_f[bidx])
                 )
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
