@@ -33,7 +33,10 @@ def main():
         from tetris_gymnasium_tpu.utils import checkpoint
 
         net = QNetworkCNN()
-        params = checkpoint.load(args.checkpoint)
+        example = net.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 20, 10), jnp.int8)
+        )
+        params = checkpoint.restore(args.checkpoint, example)
 
         @jax.jit
         def greedy(obs):

@@ -37,6 +37,13 @@ def main():
         help="rollout engine: turbo (bit-packed batch-minor, fastest) or flagship",
     )
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
+    p.add_argument(
+        "--save-params",
+        type=str,
+        default=None,
+        help="save final Q-net params here (utils.checkpoint; ref analog: "
+        "torch.save of the q_network state dict, train_cnn.py:361-363)",
+    )
     args = p.parse_args()
 
     env_config = EngineConfig(auto_reset=True)
@@ -101,6 +108,11 @@ def main():
             log_f.flush()
     if log_f:
         log_f.close()
+    if args.save_params:
+        from tetris_gymnasium_tpu.utils import checkpoint
+
+        checkpoint.save(args.save_params, ts.params)
+        print(f"saved params to {args.save_params}")
 
 
 if __name__ == "__main__":

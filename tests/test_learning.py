@@ -39,6 +39,22 @@ def test_grouped_dqn_curve_beats_random():
     assert recs[-1]["mean_reward"] > recs[0]["mean_reward"] + 0.5
 
 
+def test_dqn_curve_beats_random():
+    """CNN DQN on the full 8-action engine: survival and reward/step climb
+    well above the random-exploration start (ref workload:
+    examples/train_cnn.py; curve produced by examples/train_cnn.py on chip)."""
+    recs = _load("dqn.jsonl")
+    assert len(recs) >= 10
+    # epsilon ~= 1 at the start: random policy
+    early_survival = min(r["steps_per_episode"] for r in recs[:3])
+    final_survival = sum(r["steps_per_episode"] for r in recs[-5:]) / 5
+    assert final_survival > 1.5 * early_survival, (
+        f"no learning: survival {early_survival} -> {final_survival}"
+    )
+    assert recs[-1]["reward_per_step"] > 1.5 * recs[0]["reward_per_step"]
+    assert recs[-1]["epsilon"] < 0.1  # schedule actually annealed
+
+
 def test_ppo_curve_beats_random():
     """Survival (steps/episode) and reward/step climb well above the random
     policy (ref workload: examples/train_ppo.py)."""

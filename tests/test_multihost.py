@@ -27,6 +27,7 @@ import subprocess
 import sys
 
 import jax
+import numpy as np
 import pytest
 
 from tetris_gymnasium_tpu.config import EngineConfig
@@ -194,6 +195,55 @@ def test_launch_single_process_entrypoint(tmp_path):
     assert metrics["n_devices"] == 8
     assert metrics["process_count"] == 1
     assert "env-steps/s" in res.stdout
+
+
+def test_multiprocess_ppo_training_matches_single_process(tmp_path):
+    """BASELINE config 5's training side, executed for real: sharded PPO
+    (params replicated, env batch P(\"env\"), XLA-inserted gradient
+    all-reduce) across 2 OS processes must play the same trajectories as a
+    single process — final env-state checksums bit-equal; losses equal to
+    float tolerance (the all-reduce's partial-sum ORDER differs with
+    process layout, so parameters match only to ulps, by design)."""
+    iters = 3
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs, outs = [], []
+    for i in range(2):
+        out = tmp_path / f"ppo{i}.json"
+        outs.append(out)
+        cmd = _worker_cmd(port, 2, i, 4, out)
+        cmd += ["--train", "ppo", "--train-iters", str(iters)]
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=REPO_ROOT, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    logs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=600)
+            logs.append(stdout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker exited {p.returncode}:\n{log[-4000:]}"
+    results = [json.loads(o.read_text()) for o in outs]
+
+    ref = launch.run_ppo(
+        pmesh.env_mesh(), EngineConfig(auto_reset=True), N_ENVS, iters
+    )
+    got = results[0]
+    assert got["n_devices"] == 8 and got["process_count"] == 2
+    assert got["env_checksum"] == ref["env_checksum"], (
+        "2-process PPO played different trajectories than single-process"
+    )
+    np.testing.assert_allclose(got["pg_losses"], ref["pg_losses"], rtol=1e-4, atol=1e-6)
+    assert results[1]["env_checksum"] == got["env_checksum"]
 
 
 def test_checksum_is_mesh_shape_invariant_in_process():

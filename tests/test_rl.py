@@ -164,3 +164,40 @@ def test_grouped_dqn_train_step_respects_mask():
     # sees the invalid_action penalty reward (-0.1)
     assert float(metrics["mean_reward"]) >= 0.0
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sample_with_next_links_successors_across_wraparound():
+    """Single-copy replay: each sampled entry's successor is the SAME env one
+    step later, the newest block is never sampled, and the link holds after
+    the circular buffer wraps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tetris_gymnasium_tpu.rl import buffers
+
+    batch, capacity = 4, 16
+    example = {"obs": jnp.zeros((batch, 3), jnp.int32), "t": jnp.zeros((batch,), jnp.int32)}
+    buf = buffers.create(example, capacity, batch)
+
+    # write 7 blocks (wraps after 4): obs encodes (timestep, env)
+    for t in range(7):
+        buf = buffers.add(
+            buf,
+            {
+                "obs": jnp.stack([jnp.full((3,), 100 * t + e) for e in range(batch)]),
+                "t": jnp.full((batch,), t, jnp.int32),
+            },
+        )
+
+    cur, nxt = jax.jit(
+        lambda b, k: buffers.sample_with_next(b, k, 64, batch)
+    )(buf, jax.random.PRNGKey(0))
+    ts = np.asarray(cur["t"])
+    # resident blocks are t=3..6; the newest (6) is excluded from sampling
+    assert set(ts) <= {3, 4, 5}
+    np.testing.assert_array_equal(np.asarray(nxt["t"]), ts + 1)
+    # successor is the same env, one timestep later
+    np.testing.assert_array_equal(
+        np.asarray(nxt["obs"][:, 0]), np.asarray(cur["obs"][:, 0]) + 100
+    )

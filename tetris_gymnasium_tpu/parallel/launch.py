@@ -77,6 +77,73 @@ def run(
     }
 
 
+def run_ppo(
+    mesh,
+    config,
+    n_envs: int,
+    iterations: int,
+    rollout_len: int = 8,
+    impl: str = "flagship",
+) -> dict:
+    """Sharded PPO training on an existing (possibly multi-host) mesh.
+
+    BASELINE config 5's training side: env batch sharded ``P("env")`` over
+    every chip of the slice, parameters/optimizer replicated, the gradient
+    all-reduce inserted by XLA from the sharding annotations alone.  The
+    exact op sequence is fixed, so a multi-process run is comparable with a
+    single-process run: tests/test_multihost.py pins final env-state
+    checksums bit-for-bit and losses to float tolerance.
+    """
+    import jax
+
+    from tetris_gymnasium_tpu.parallel import mesh as pmesh
+    from tetris_gymnasium_tpu.rl import ppo as rl_ppo
+
+    pcfg = rl_ppo.PPOConfig(
+        rollout_len=rollout_len, update_epochs=1, n_minibatches=2, shuffle_block=8
+    )
+    net = rl_ppo.ActorCriticCNN()
+    ts0 = jax.eval_shape(
+        lambda k: rl_ppo.init_train_state(
+            k, n_envs=n_envs, env_config=config, ppo=pcfg, net=net, impl=impl
+        ),
+        jax.random.PRNGKey(0),
+    )
+    shardings = pmesh.train_state_shardings(mesh, ts0, impl)
+    ts = jax.jit(
+        lambda k: rl_ppo.init_train_state(
+            k, n_envs=n_envs, env_config=config, ppo=pcfg, net=net, impl=impl
+        ),
+        out_shardings=shardings,
+    )(jax.random.PRNGKey(0))
+    train_step = jax.jit(
+        rl_ppo.make_train_step(config, pcfg, net, impl=impl),
+        in_shardings=(shardings,),
+        out_shardings=(shardings, pmesh.replicated(mesh)),
+        donate_argnums=(0,),
+    )
+
+    ts, metrics = train_step(ts)  # warm-up/compile
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    losses = [float(metrics["pg_loss"])]
+    for _ in range(iterations - 1):
+        ts, metrics = train_step(ts)
+        losses.append(float(metrics["pg_loss"]))
+    dt = time.perf_counter() - t0
+
+    return {
+        "n_devices": len(jax.devices()),
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "train_steps_per_sec": n_envs * rollout_len * max(iterations - 1, 1) / dt,
+        "pg_losses": losses,
+        "final_entropy": float(metrics["entropy"]),
+        "env_checksum": pmesh.state_checksum(ts.env_states, mesh),
+        "param_checksum": pmesh.state_checksum(ts.params, mesh),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-envs", type=int, default=65536, help="global env count")
@@ -98,6 +165,13 @@ def main():
         help="with --backend cpu: virtual CPU device count per process",
     )
     p.add_argument("--out", type=str, default=None, help="write metrics JSON here")
+    p.add_argument(
+        "--train",
+        choices=["none", "ppo"],
+        default="none",
+        help="'ppo' runs sharded PPO training instead of the rollout bench",
+    )
+    p.add_argument("--train-iters", type=int, default=3)
     args = p.parse_args()
 
     import os
@@ -164,18 +238,27 @@ def main():
     if jax.process_index() == 0:
         print(f"mesh: {n_dev} devices x {jax.process_count()} processes")
 
-    metrics = run(m, config, args.n_envs, args.horizon, args.repeats)
+    if args.train == "ppo":
+        metrics = run_ppo(m, config, args.n_envs, args.train_iters)
+    else:
+        metrics = run(m, config, args.n_envs, args.horizon, args.repeats)
 
     if args.out:
         with open(args.out, "w") as f:
             json.dump(metrics, f)
     if jax.process_index() == 0:
-        sps = metrics["steps_per_sec"]
-        print(
-            f"{sps:.3e} env-steps/s global ({sps / n_dev:.3e} per chip), "
-            f"sum reward {metrics['sum_reward']:.0f}, "
-            f"episodes {metrics['sum_done']}"
-        )
+        if args.train == "ppo":
+            print(
+                f"{metrics['train_steps_per_sec']:.3e} trained env-steps/s, "
+                f"pg_loss {metrics['pg_losses'][-1]:.4f}"
+            )
+        else:
+            sps = metrics["steps_per_sec"]
+            print(
+                f"{sps:.3e} env-steps/s global ({sps / n_dev:.3e} per chip), "
+                f"sum reward {metrics['sum_reward']:.0f}, "
+                f"episodes {metrics['sum_done']}"
+            )
 
 
 if __name__ == "__main__":

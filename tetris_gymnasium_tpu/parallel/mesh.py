@@ -166,6 +166,38 @@ def sharded_random_rollout(
     return _sharded_rollout_fn(config, mesh, horizon, engine_kind)(states, rollout_key)
 
 
+def batch_minor_shardings(mesh: Mesh, tree, axis: str = "env"):
+    """Per-leaf shardings for batch-MINOR pytrees (turbo layout): the env
+    axis is the LAST axis of every array."""
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, P(*((None,) * (len(x.shape) - 1)), axis)), tree
+    )
+
+
+def train_state_shardings(mesh: Mesh, ts, impl: str = "flagship"):
+    """Shardings for an ``rl.ppo.TrainState``: params/opt replicated, env
+    batch sharded (leading axis for the flagship engine, minor axis for
+    turbo), observations and rollout keys on the batch axis.
+
+    This is THE distributed-training recipe of the framework: annotate in-
+    and out-shardings, let XLA insert the gradient all-reduce (no hand
+    collectives) — identical code single-host and across a pod slice.
+    """
+    repl = replicated(mesh)
+    env = (
+        batch_minor_shardings(mesh, ts.env_states)
+        if impl == "turbo"
+        else jax.tree.map(lambda _: env_sharding(mesh), ts.env_states)
+    )
+    return type(ts)(
+        params=jax.tree.map(lambda _: repl, ts.params),
+        opt_state=jax.tree.map(lambda _: repl, ts.opt_state),
+        env_states=env,
+        last_obs=env_sharding(mesh),
+        key=repl,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _checksum_fn(mesh: Mesh):
     def checksum(leaves):

@@ -65,3 +65,36 @@ def sample(buffer: ReplayBuffer, key: jnp.ndarray, batch_size: int) -> Any:
     """Uniform sample of ``batch_size`` transitions (gather over valid entries)."""
     idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(buffer.size, 1))
     return jax.tree.map(lambda x: x[idx], buffer.data)
+
+
+def sample_with_next(
+    buffer: ReplayBuffer, key: jnp.ndarray, batch_size: int, batch: int
+) -> Any:
+    """Uniform sample returning each transition AND its successor entry.
+
+    Lets a DQN buffer store each observation ONCE: entry ``i``'s next
+    observation is entry ``i + batch``'s observation (the same env one step
+    later), halving replay memory and write bandwidth versus duplicating
+    ``next_obs`` per transition (the SB3/reference layout,
+    ref: examples/train_cnn.py:266-272).
+
+    Correctness of the successor link in the circular layout: entries are
+    overwritten oldest-first, so for every valid entry outside the NEWEST
+    block, the entry one block later is strictly newer and still resident.
+    The newest block (whose successor is not yet in the buffer) is excluded
+    from sampling.
+
+    Returns ``(transitions, next_transitions)`` pytrees shaped
+    ``[batch_size, ...]``.
+    """
+    capacity = jax.tree.leaves(buffer.data)[0].shape[0]
+    full = buffer.size == capacity
+    start = jnp.where(full, buffer.pos, 0)  # oldest entry's position
+    n_valid = jnp.maximum(buffer.size - batch, 1)
+    off = jax.random.randint(key, (batch_size,), 0, n_valid)
+    idx = jnp.mod(start + off, capacity)
+    nxt = jnp.mod(idx + batch, capacity)
+    return (
+        jax.tree.map(lambda x: x[idx], buffer.data),
+        jax.tree.map(lambda x: x[nxt], buffer.data),
+    )

@@ -82,7 +82,6 @@ def init_dqn_state(
         "obs": obs,
         "action": jnp.zeros((n_envs,), jnp.int32),
         "reward": jnp.zeros((n_envs,), jnp.float32),
-        "next_obs": obs,
         "done": jnp.zeros((n_envs,), jnp.bool_),
     }
     buffer = buffers.create(example, cfg.buffer_size, n_envs)
@@ -112,10 +111,13 @@ def make_train_step(
     _, env_step_b, observe_b = _env_fns(env_config, impl)
     optimizer = optax.adam(cfg.learning_rate)
 
-    def td_loss(params, target_params, batch):
+    def td_loss(params, target_params, batch, next_batch):
         q = net.apply(params, batch["obs"])
         q_taken = q[jnp.arange(q.shape[0]), batch["action"]]
-        q_next = net.apply(target_params, batch["next_obs"]).max(axis=-1)
+        # next_batch["obs"] is the SAME env's observation one step later
+        # (single-copy replay, buffers.sample_with_next); on a terminal
+        # transition it is the auto-reset successor, masked out by not_done.
+        q_next = net.apply(target_params, next_batch["obs"]).max(axis=-1)
         not_done = 1.0 - batch["done"].astype(jnp.float32)
         target = batch["reward"] + cfg.gamma * not_done * q_next
         return jnp.mean((q_taken - jax.lax.stop_gradient(target)) ** 2)
@@ -132,6 +134,10 @@ def make_train_step(
         action = jnp.where(explore, random_a, greedy)
 
         # -- env step + replay add -------------------------------------------
+        # Each observation is stored ONCE: the successor entry (same env,
+        # next step) provides next_obs at sample time — half the replay
+        # memory/bandwidth of the reference's SB3 layout, which duplicates
+        # next_obs per transition (ref: train_cnn.py:266-272, 317).
         env_states, _, reward, done, _ = env_step_b(ts.env_states, action)
         next_obs = observe_b(env_states)
         buffer = buffers.add(
@@ -140,7 +146,6 @@ def make_train_step(
                 "obs": ts.obs,
                 "action": action,
                 "reward": reward,
-                "next_obs": next_obs,
                 "done": done,
             },
         )
@@ -153,8 +158,12 @@ def make_train_step(
 
         def do_update(operand):
             params, target_params, opt_state, buffer, sample_key = operand
-            batch = buffers.sample(buffer, sample_key, cfg.batch_size)
-            loss, grads = jax.value_and_grad(td_loss)(params, target_params, batch)
+            batch, next_batch = buffers.sample_with_next(
+                buffer, sample_key, cfg.batch_size, n
+            )
+            loss, grads = jax.value_and_grad(td_loss)(
+                params, target_params, batch, next_batch
+            )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
