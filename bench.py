@@ -175,6 +175,33 @@ def bench_grouped(
     return n_envs * n_actions * horizon * repeats / elapsed
 
 
+def bench_vector_env(n_envs: int, n_steps: int):
+    """Gymnasium VectorEnv adapter throughput: numpy in/out each step.
+
+    Measures the full adapter path (host action upload, fused
+    step+restart+observe program, observation download) — the price of the
+    standard gym.vector API versus the pure scan path (envs/vector_env.py).
+    """
+    import numpy as np
+
+    from tetris_gymnasium_tpu.envs.vector_env import TetrisVectorEnv
+
+    venv = TetrisVectorEnv(n_envs, EngineConfig(), impl="turbo", seed=0)
+    venv.reset(seed=0)
+    rng = np.random.default_rng(0)
+    actions = rng.integers(0, 8, size=(n_steps, n_envs))
+    venv.step(actions[0])  # warm-up compile
+
+    t0 = time.perf_counter()
+    term_total = 0
+    for i in range(n_steps):
+        _, _, term, _, _ = venv.step(actions[i])
+        term_total += int(term.sum())  # np output => already synced
+    elapsed = time.perf_counter() - t0
+    assert term_total > 0
+    return n_envs * n_steps / elapsed
+
+
 def bench_ppo_train(n_envs: int, repeats: int, impl: str = "turbo"):
     """PPO train-step throughput: env-steps consumed per second of training.
 
@@ -267,6 +294,10 @@ def main():
             (
                 "ppo_env_steps_per_sec",
                 lambda: bench_ppo_train(8192, max(repeats // 2, 1), impl="turbo"),
+            ),
+            (
+                "vector_env_steps_per_sec",
+                lambda: bench_vector_env(8192, 64),
             ),
         ]
         for name, fn in extra_benches:

@@ -155,3 +155,46 @@ def test_grouped_dqn_learns_live():
         totals.append(float(lines))
     early, late = sum(totals[:3]), sum(totals[-3:])
     assert late > 2 * max(early, 1.0), f"no learning: early {early}, late {late}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TETRIS_TPU_SLOW_TESTS"),
+    reason="boards-mode grouped DQN live training (~5 min on CPU)",
+)
+def test_grouped_dqn_boards_mode_learns_live():
+    """Board-image grouped DQN (QGroupedBoardsCNN on turbo mode=\"boards\")
+    learns from scratch: lines cleared climb far above the random rate.
+    Observed on this machine: 20 -> 574 lines per 50-step chunk in 500
+    steps (32 envs, 6x8 board)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tetris_gymnasium_tpu.config import EngineConfig
+    from tetris_gymnasium_tpu.models import QGroupedBoardsCNN
+    from tetris_gymnasium_tpu.rl import grouped_dqn
+
+    env_config = EngineConfig(width=6, height=8, gravity_enabled=False, auto_reset=True)
+    cfg = grouped_dqn.GroupedDQNConfig(
+        buffer_size=2048, batch_size=64, exploration_steps=250,
+        learning_starts=64, target_update_every=64,
+    )
+    net = QGroupedBoardsCNN()
+    ts = grouped_dqn.init_grouped_dqn_state(
+        jax.random.PRNGKey(0), 32, env_config, cfg, net, mode="boards"
+    )
+    train_step = grouped_dqn.make_train_step(env_config, cfg, net, mode="boards")
+
+    @jax.jit
+    def chunk(ts):
+        def one(c, _):
+            c, m = train_step(c)
+            return c, m["lines_cleared"]
+
+        ts, lines = jax.lax.scan(one, ts, None, length=50)
+        return ts, jnp.sum(lines)
+
+    totals = []
+    for _ in range(10):
+        ts, lines = chunk(ts)
+        totals.append(float(lines))
+    assert sum(totals[-3:]) > 3 * max(sum(totals[:3]), 1.0), totals

@@ -201,3 +201,29 @@ def test_sample_with_next_links_successors_across_wraparound():
     np.testing.assert_array_equal(
         np.asarray(nxt["obs"][:, 0]), np.asarray(cur["obs"][:, 0]) + 100
     )
+
+
+def test_grouped_dqn_boards_mode_one_step():
+    """Boards-mode grouped DQN (per-candidate board images -> CNN Q) wires
+    end-to-end: one train step runs, shapes/finiteness hold."""
+    import jax
+    import jax.numpy as jnp
+
+    from tetris_gymnasium_tpu.config import EngineConfig
+    from tetris_gymnasium_tpu.models import QGroupedBoardsCNN
+    from tetris_gymnasium_tpu.rl import grouped_dqn
+
+    env_config = EngineConfig(width=6, height=8, gravity_enabled=False, auto_reset=True)
+    cfg = grouped_dqn.GroupedDQNConfig(
+        buffer_size=64, batch_size=8, learning_starts=0, exploration_steps=10
+    )
+    net = QGroupedBoardsCNN()
+    ts = grouped_dqn.init_grouped_dqn_state(
+        jax.random.PRNGKey(0), 8, env_config, cfg, net, mode="boards"
+    )
+    assert ts.obs.shape == (8, 24, 8, 6)
+    step = jax.jit(grouped_dqn.make_train_step(env_config, cfg, net, mode="boards"))
+    ts, m = step(ts)
+    ts, m = step(ts)
+    assert jnp.isfinite(m["loss"]).item()
+    assert ts.obs.shape == (8, 24, 8, 6)

@@ -2,8 +2,9 @@
 from tetris_gymnasium_tpu.models.networks import (
     ActorCriticCNN,
     BoardEncoder,
+    QGroupedBoardsCNN,
     QMLP,
     QNetworkCNN,
 )
 
-__all__ = ["ActorCriticCNN", "BoardEncoder", "QMLP", "QNetworkCNN"]
+__all__ = ["ActorCriticCNN", "BoardEncoder", "QGroupedBoardsCNN", "QMLP", "QNetworkCNN"]

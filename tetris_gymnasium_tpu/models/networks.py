@@ -100,3 +100,24 @@ class QMLP(nn.Module):
         for h in self.hidden:
             x = nn.relu(nn.Dense(h, dtype=self.dtype)(x))
         return nn.Dense(1, dtype=jnp.float32)(x).squeeze(-1)
+
+
+class QGroupedBoardsCNN(nn.Module):
+    """Per-candidate board-image Q-net for the grouped placement env.
+
+    Scores every candidate's post-placement binary board (turbo grouped
+    ``mode="boards"``, the reference grouped env's default observation,
+    ref: wrappers/grouped.py:67-72): ``[B, A, H, W] -> [B, A]``.  The
+    candidate axis folds into the conv batch, so all ``B*A`` boards run as
+    one MXU-friendly convolution batch.
+    """
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, boards: jnp.ndarray) -> jnp.ndarray:
+        lead = boards.shape[:-2]
+        x = boards.reshape((-1,) + boards.shape[-2:])  # [B*A, H, W]
+        h = BoardEncoder(dtype=self.dtype)(x)
+        q = nn.Dense(1, dtype=jnp.float32)(h)
+        return q.reshape(lead)

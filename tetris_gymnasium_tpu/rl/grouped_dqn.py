@@ -87,14 +87,21 @@ def init_grouped_dqn_state(
     env_config: EngineConfig,
     cfg: GroupedDQNConfig,
     net: QMLP = QMLP(),
+    mode: str = "features",
 ) -> GroupedDQNState:
-    """Fresh networks, empty buffer, fresh grouped env batch."""
+    """Fresh networks, empty buffer, fresh grouped env batch.
+
+    ``mode`` picks the candidate observation: ``"features"`` + :class:`QMLP`
+    (the reference linear-DQN workload) or ``"boards"`` + a board-image net
+    like :class:`~tetris_gymnasium_tpu.models.QGroupedBoardsCNN` (the
+    reference grouped env's default observation space).
+    """
     key, net_key, env_key = jax.random.split(key, 3)
     env_keys = jax.vmap(lambda i: jax.random.fold_in(env_key, i))(
         jnp.arange(n_envs, dtype=jnp.uint32)
     )
     env_states, obs = jax.jit(
-        functools.partial(turbo_grouped.reset, config=env_config)
+        functools.partial(turbo_grouped.reset, config=env_config, mode=mode)
     )(env_keys)
 
     params = net.init(net_key, obs[:1])
@@ -123,15 +130,21 @@ def init_grouped_dqn_state(
     )
 
 
-def make_train_step(env_config: EngineConfig, cfg: GroupedDQNConfig, net: QMLP):
+def make_train_step(
+    env_config: EngineConfig,
+    cfg: GroupedDQNConfig,
+    net: QMLP,
+    mode: str = "features",
+):
     """Build the jitted grouped-DQN step.
 
     ``env_config`` should have ``gravity_enabled=False`` and
     ``auto_reset=True`` for training (the reference example resets host-side,
-    ref: train_lin_grouped.py:316-321).
+    ref: train_lin_grouped.py:316-321).  ``mode``/``net`` must match
+    :func:`init_grouped_dqn_state`.
     """
     env_step = functools.partial(
-        turbo_grouped.step, config=env_config, terminate_on_illegal=True
+        turbo_grouped.step, config=env_config, mode=mode, terminate_on_illegal=True
     )
     optimizer = optax.adam(cfg.learning_rate)
 
