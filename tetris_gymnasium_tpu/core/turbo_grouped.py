@@ -161,23 +161,29 @@ def placement_boards(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Evaluate all candidates as BINARY playfield boards.
 
-    -> (boards ``float32[H, W, A, B]``, mask [A, B], game_over [A, B],
+    -> (boards ``float32[B, A, H, W]``, mask [A, B], game_over [A, B],
     lines [A, B]).  Boards are the post-lock post-clear playfield occupancy
     unpacked from the packed candidate rows; sentinels follow the reference
     (illegal -> all ones, game-over placement -> all zeros,
     ref: grouped.py:164-177).  Binary because packed rows carry no piece ids
     — the flagship grouped engine serves id-palette boards.
+
+    Layout: the PACKED uint32 words are transposed first
+    ([H, A, B] -> [B, A, H], 32x less data than a per-pixel transpose) and
+    then broadcast-unpacked along a fresh W axis — the same trick the
+    profiling of round 3 put into ``turbo.observe_board``
+    (docs/scale/training_perf.md).
     """
     cleared, frame_hit, stack_hit, lines = _candidate_rows(state, config, pieces)
 
     H, pad, W = config.height, config.padding, config.width
-    cols = [
-        ((cleared[:H] >> jnp.uint32(w)) & 1).astype(jnp.float32)
-        for w in range(pad, pad + W)
-    ]
-    boards = jnp.stack(cols, axis=1)  # [H, W, A, B]
-    boards = jnp.where(frame_hit[None, None], jnp.float32(1), boards)
-    boards = jnp.where(stack_hit[None, None], jnp.float32(0), boards)
+    shifts = jnp.arange(pad, pad + W, dtype=jnp.uint32)  # [W]
+    words = jnp.transpose(cleared[:H], (2, 1, 0))[..., None]  # uint32 [B, A, H, 1]
+    boards = ((words >> shifts) & 1).astype(jnp.float32)  # [B, A, H, W]
+    fh = jnp.transpose(frame_hit)[:, :, None, None]  # [B, A, 1, 1]
+    sh = jnp.transpose(stack_hit)[:, :, None, None]
+    boards = jnp.where(fh, jnp.float32(1), boards)
+    boards = jnp.where(sh, jnp.float32(0), boards)
 
     mask = (~frame_hit).astype(jnp.float32)
     return boards, mask, stack_hit, lines
@@ -202,7 +208,7 @@ def observation(
         return jnp.transpose(feats, (2, 1, 0)), mask
     if mode == "boards":
         boards, mask, _, _ = placement_boards(state, config, pieces)
-        return jnp.transpose(boards, (3, 2, 0, 1)), mask
+        return boards, mask  # already [B, A, H, W]
     raise ValueError(f"unknown turbo grouped observation mode: {mode}")
 
 

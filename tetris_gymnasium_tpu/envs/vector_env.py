@@ -31,7 +31,7 @@ from gymnasium import spaces
 from gymnasium.vector import AutoresetMode, VectorEnv
 
 from tetris_gymnasium_tpu.config import EngineConfig
-from tetris_gymnasium_tpu.core import engine, turbo
+from tetris_gymnasium_tpu.parallel.mesh import batch_keys
 from tetris_gymnasium_tpu.rl.engines import env_fns
 
 
@@ -112,14 +112,13 @@ class TetrisVectorEnv(VectorEnv):
 
     # -- key discipline ------------------------------------------------------
     def _fresh_keys(self) -> jnp.ndarray:
-        """Per-env keys ``uint32[B, 2]``, a new stream block every call."""
+        """Per-env keys ``uint32[B, 2]``, a new stream block every call
+        (the framework-wide fold-on-global-index discipline, mesh.batch_keys)."""
         base = jax.random.fold_in(
             jax.random.PRNGKey(self._base_seed), self._reset_epoch
         )
         self._reset_epoch += 1
-        return jax.vmap(lambda i: jax.random.fold_in(base, i))(
-            jnp.arange(self.num_envs, dtype=jnp.uint32)
-        )
+        return batch_keys(base, self.num_envs)
 
     # -- VectorEnv API -------------------------------------------------------
     def reset(self, *, seed: Optional[int] = None, options: Optional[dict] = None):

@@ -132,11 +132,15 @@ def run_ppo(
         losses.append(float(metrics["pg_loss"]))
     dt = time.perf_counter() - t0
 
+    # the warm-up iteration is excluded from timing; with iterations == 1
+    # no timed iteration ran, so report no throughput rather than garbage
+    sps = n_envs * rollout_len * (iterations - 1) / dt if iterations > 1 else None
+
     return {
         "n_devices": len(jax.devices()),
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
-        "train_steps_per_sec": n_envs * rollout_len * max(iterations - 1, 1) / dt,
+        "train_steps_per_sec": sps,
         "pg_losses": losses,
         "final_entropy": float(metrics["entropy"]),
         "env_checksum": pmesh.state_checksum(ts.env_states, mesh),
@@ -179,13 +183,13 @@ def main():
     import jax
 
     if args.backend == "cpu":
-        # Running under ``python -m`` the package import has ALREADY
-        # initialized a backend (the device piece tables are built at import),
-        # so jax_num_cpu_devices may be frozen by now.  The authoritative
-        # path is env vars at process spawn (JAX_PLATFORMS=cpu,
-        # JAX_NUM_CPU_DEVICES=K, JAX_CPU_COLLECTIVES_IMPLEMENTATION=gloo,
-        # as tests/test_multihost.py does); these updates cover direct
-        # script invocation and otherwise just VERIFY the runtime matches.
+        # Package import is backend-clean (module constants are numpy, see
+        # ops/rng.py), so these config updates normally succeed and ARE the
+        # path tests/test_multihost.py relies on (it only sets
+        # JAX_PLATFORMS=cpu at spawn).  The try/except below covers the one
+        # escape hatch: if some sitecustomize already initialized a backend,
+        # JAX_NUM_CPU_DEVICES must have been set at process spawn and we
+        # verify the device count instead of updating it.
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
         if args.local_devices:
@@ -248,8 +252,10 @@ def main():
             json.dump(metrics, f)
     if jax.process_index() == 0:
         if args.train == "ppo":
+            sps = metrics["train_steps_per_sec"]
+            sps_txt = f"{sps:.3e}" if sps is not None else "n/a (1 iteration)"
             print(
-                f"{metrics['train_steps_per_sec']:.3e} trained env-steps/s, "
+                f"{sps_txt} trained env-steps/s, "
                 f"pg_loss {metrics['pg_losses'][-1]:.4f}"
             )
         else:

@@ -88,8 +88,16 @@ def sample_with_next(
     ``[batch_size, ...]``.
     """
     capacity = jax.tree.leaves(buffer.data)[0].shape[0]
+    if capacity < 2 * batch:
+        # with a single block, the "successor" of an entry is itself
+        raise ValueError(
+            f"sample_with_next needs capacity >= 2*batch "
+            f"(got {capacity} < 2*{batch})"
+        )
     full = buffer.size == capacity
     start = jnp.where(full, buffer.pos, 0)  # oldest entry's position
+    # callers must not sample before two blocks are resident (size > batch);
+    # the max(1) only keeps randint's bound legal while a learn gate holds
     n_valid = jnp.maximum(buffer.size - batch, 1)
     off = jax.random.randint(key, (batch_size,), 0, n_valid)
     idx = jnp.mod(start + off, capacity)

@@ -153,8 +153,10 @@ def make_train_step(
         # -- learner update (ref: train_cnn.py:323-359) ------------------------
         # Gated with lax.cond, not masked arithmetic: before learning_starts
         # the warm-up branch skips the forward+backward entirely instead of
-        # computing and discarding it (round-1 VERDICT weak #4).
-        learn = ts.step >= cfg.learning_starts
+        # computing and discarding it (round-1 VERDICT weak #4).  The step>=1
+        # floor guarantees two replay blocks are resident so single-copy
+        # successor links are valid (buffers.sample_with_next).
+        learn = (ts.step >= cfg.learning_starts) & (ts.step >= 1)
 
         def do_update(operand):
             params, target_params, opt_state, buffer, sample_key = operand

@@ -16,6 +16,7 @@ the jit/pjit recipe, no hand-written collectives.
 """
 from __future__ import annotations
 
+import math
 from typing import Any, NamedTuple, Tuple
 
 import jax
@@ -184,12 +185,15 @@ def make_train_step(
         # consecutive samples is `shuffle_block` adjacent (independent) env
         # streams at one timestep.
         n = ppo.rollout_len * last_obs.shape[0]
-        block = max(1, min(ppo.shuffle_block, n // ppo.n_minibatches))
-        if n % (block * ppo.n_minibatches):
+        if n % ppo.n_minibatches:
             raise ValueError(
                 f"rollout samples ({n}) must divide into n_minibatches "
-                f"({ppo.n_minibatches}) x shuffle_block ({block})"
+                f"({ppo.n_minibatches})"
             )
+        # block must divide the minibatch size so every minibatch gets a
+        # whole number of blocks; clamp to the largest compatible divisor
+        # rather than rejecting odd env counts.
+        block = math.gcd(max(1, ppo.shuffle_block), n // ppo.n_minibatches)
         n_blocks = n // block
         flat = jax.tree.map(
             lambda x: x.reshape((n_blocks, block) + x.shape[2:]), traj
