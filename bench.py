@@ -129,9 +129,7 @@ def bench_actor_feed(config: EngineConfig, n_envs: int, horizon: int, repeats: i
     return n_envs * horizon * repeats / elapsed
 
 
-def bench_grouped(
-    config: EngineConfig, n_envs: int, horizon: int, repeats: int, mode: str = "features"
-):
+def bench_grouped(n_envs: int, horizon: int, repeats: int, mode: str = "features"):
     """Config 4: grouped placement enumeration/step, masked-random actions.
 
     Runs the turbo grouped engine (flagship-equivalent trajectories,
@@ -283,23 +281,25 @@ def main():
             ),
             (
                 "grouped_placements_per_sec",
-                lambda: bench_grouped(config, 4096, 32, max(repeats // 2, 1)),
+                lambda: bench_grouped(4096, 32, max(repeats // 2, 1)),
             ),
             (
                 "grouped_boards_placements_per_sec",
-                lambda: bench_grouped(
-                    config, 4096, 32, max(repeats // 2, 1), mode="boards"
-                ),
+                lambda: bench_grouped(4096, 32, max(repeats // 2, 1), mode="boards"),
             ),
             (
                 "ppo_env_steps_per_sec",
                 lambda: bench_ppo_train(8192, max(repeats // 2, 1), impl="turbo"),
             ),
-            (
-                "vector_env_steps_per_sec",
-                lambda: bench_vector_env(8192, 64),
-            ),
         ]
+        if os.environ.get("BENCH_VECTOR_ENV"):
+            # Off by default: on tunnel-attached dev machines this measures
+            # host<->device round-trip latency (~hundreds of ms/step), not
+            # the adapter; enable on locally-attached hosts where the numpy
+            # boundary costs ~1 ms/step.
+            extra_benches.append(
+                ("vector_env_steps_per_sec", lambda: bench_vector_env(8192, 64))
+            )
         for name, fn in extra_benches:
             try:
                 extras[name] = round(fn())

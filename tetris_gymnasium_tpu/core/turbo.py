@@ -248,6 +248,10 @@ def _clear_lines(
     # hand-built board (the reference test suite's own style is board
     # surgery) can exceed it and would compact silently wrong.  With
     # TETRIS_TPU_DEBUG=1 the violation raises at run time instead.
+    # NOTE: the flag is captured at TRACE time (a per-step host callback is
+    # too expensive to install unconditionally on this hot path) — set it
+    # before the first jit of the process; flipping it later has no effect
+    # on already-compiled/cached programs.
     if max_clear < height and os.environ.get("TETRIS_TPU_DEBUG"):
         def _check_envelope(over):
             if over:
@@ -571,6 +575,23 @@ def step(
 # ---------------------------------------------------------------------------
 
 
+def unpack_playfield(rows: jnp.ndarray, config: EngineConfig, dtype) -> jnp.ndarray:
+    """Packed rows ``uint32[H, *batch]`` -> playfield bits
+    ``dtype[*batch_reversed, H, W]`` (batch axes reversed to batch-leading).
+
+    The layout trick shared by ``observe_board`` and the grouped boards
+    mode: transpose the PACKED words first (32x less data than a per-pixel
+    transpose), then broadcast-unpack along a fresh trailing W axis
+    (docs/scale/training_perf.md).
+    """
+    H, pad, W = config.height, config.padding, config.width
+    nd = rows.ndim
+    perm = tuple(range(nd - 1, 0, -1)) + (0,)  # [H, *batch] -> [*rev(batch), H]
+    words = jnp.transpose(rows[:H], perm)[..., None]
+    shifts = jnp.arange(pad, pad + W, dtype=jnp.uint32)  # [W]
+    return ((words >> shifts) & 1).astype(dtype)
+
+
 def observe_board(state: TurboState, config: EngineConfig, pieces: PieceSet = PIECES) -> jnp.ndarray:
     """Cropped binary board with the active piece stamped as -1, ``int8[B, H, W]``.
 
@@ -580,24 +601,14 @@ def observe_board(state: TurboState, config: EngineConfig, pieces: PieceSet = PI
     is the natural layout.
     """
     t = _tables_for(pieces)
-    pad, W = config.padding, config.width
-    H = config.height
     rb = _row_bits(t, state.piece, state.rotation)
     sp = _shift(rb, state.x, config.padded_width)
     # active-piece occupancy rows (like _project onto an empty board)
     ap = _project(jnp.zeros_like(state.rows), sp, state.y, t.size)
     ap = jnp.where(state.game_over, jnp.uint32(0), ap)
 
-    # Layout: transpose the PACKED uint32 words first ([H, B] -> [B, H],
-    # 32x less data than an unpacked-int8 transpose), then broadcast-unpack
-    # the playfield bits along a fresh W axis — the profile showed the
-    # per-column unpack + int8 [H, W, B] -> [B, H, W] transpose costing more
-    # than the env step itself (docs/scale/training_perf.md).
-    shifts = jnp.arange(pad, pad + W, dtype=jnp.uint32)  # [W]
-    stack_bt = state.rows[:H].T[:, :, None]  # uint32 [B, H, 1]
-    active_bt = ap[:H].T[:, :, None]
-    stack = ((stack_bt >> shifts) & 1).astype(jnp.int8)  # [B, H, W]
-    active = ((active_bt >> shifts) & 1).astype(jnp.int8)
+    stack = unpack_playfield(state.rows, config, jnp.int8)  # [B, H, W]
+    active = unpack_playfield(ap, config, jnp.int8)
     # flagship stamps by *addition* (project of -1 onto the binary board,
     # ref: envs/tetris_fn.py:137-158): overlap yields 0, not -1
     return stack - active

@@ -176,10 +176,7 @@ def placement_boards(
     """
     cleared, frame_hit, stack_hit, lines = _candidate_rows(state, config, pieces)
 
-    H, pad, W = config.height, config.padding, config.width
-    shifts = jnp.arange(pad, pad + W, dtype=jnp.uint32)  # [W]
-    words = jnp.transpose(cleared[:H], (2, 1, 0))[..., None]  # uint32 [B, A, H, 1]
-    boards = ((words >> shifts) & 1).astype(jnp.float32)  # [B, A, H, W]
+    boards = turbo.unpack_playfield(cleared, config, jnp.float32)  # [B, A, H, W]
     fh = jnp.transpose(frame_hit)[:, :, None, None]  # [B, A, 1, 1]
     sh = jnp.transpose(stack_hit)[:, :, None, None]
     boards = jnp.where(fh, jnp.float32(1), boards)

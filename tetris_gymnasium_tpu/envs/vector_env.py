@@ -31,30 +31,38 @@ from gymnasium import spaces
 from gymnasium.vector import AutoresetMode, VectorEnv
 
 from tetris_gymnasium_tpu.config import EngineConfig
-from tetris_gymnasium_tpu.parallel.mesh import batch_keys
 from tetris_gymnasium_tpu.rl.engines import env_fns
 
 
 @functools.lru_cache(maxsize=None)
-def _programs(config: EngineConfig, impl: str):
+def _programs(config: EngineConfig, impl: str, num_envs: int):
     """(reset, step) jitted batched programs for the chosen engine.
 
-    ``reset(keys) -> (states, obs)``;
-    ``step(states, actions, reset_keys) -> (states', obs', reward,
+    ``reset(seed, epoch) -> (states, obs)``;
+    ``step(states, actions, seed, epoch) -> (states', obs', reward,
     terminated, final_obs, lines)`` where ``states'``/``obs'`` already
     contain the same-step restart for terminated envs and ``final_obs`` is
-    the pre-restart terminal observation.
+    the pre-restart terminal observation.  Per-env keys are derived INSIDE
+    the program from the two scalars (fold_in on seed, epoch, global env
+    index — the framework key discipline), so the host uploads two ints per
+    step, not a ``[B, 2]`` key array.
     """
     init, step, observe = env_fns(config, impl)
 
-    def reset_fn(keys):
-        states = init(keys)
+    def keys_for(seed, epoch):
+        base = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
+        return jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(num_envs, dtype=jnp.uint32)
+        )
+
+    def reset_fn(seed, epoch):
+        states = init(keys_for(seed, epoch))
         return states, observe(states)
 
-    def step_fn(states, actions, reset_keys):
+    def step_fn(states, actions, seed, epoch):
         states2, _, reward, done, info = step(states, actions)
         final_obs = observe(states2)
-        fresh = init(reset_keys)
+        fresh = init(keys_for(seed, epoch))
         # batch-minor (turbo) leaves broadcast done on the last axis;
         # batch-leading (flagship vmap) on the first.
         def sel(a, b):
@@ -68,6 +76,21 @@ def _programs(config: EngineConfig, impl: str):
         return states3, obs3, reward, done, final_obs, info["lines_cleared"]
 
     return jax.jit(reset_fn), jax.jit(step_fn, donate_argnums=(0,))
+
+
+class _KeyEpochs:
+    """Host-side (seed, epoch) counter for the in-jit key derivation."""
+
+    __slots__ = ("seed", "epoch")
+
+    def __init__(self, seed: int):
+        self.seed = seed
+        self.epoch = 0
+
+    def next(self):
+        e = self.epoch
+        self.epoch += 1
+        return jnp.int32(self.seed), jnp.uint32(e)
 
 
 class TetrisVectorEnv(VectorEnv):
@@ -95,9 +118,8 @@ class TetrisVectorEnv(VectorEnv):
         self.num_envs = int(num_envs)
         self.config = config
         self.impl = impl
-        self._base_seed = seed
-        self._reset_epoch = 0  # bumped per key request => unique streams
-        self._reset_fn, self._step_fn = _programs(config, impl)
+        self._keys = _KeyEpochs(seed)
+        self._reset_fn, self._step_fn = _programs(config, impl, self.num_envs)
         self._states = None
 
         H, W = config.height, config.width
@@ -110,22 +132,11 @@ class TetrisVectorEnv(VectorEnv):
         )
         self.action_space = spaces.MultiDiscrete([8] * self.num_envs)
 
-    # -- key discipline ------------------------------------------------------
-    def _fresh_keys(self) -> jnp.ndarray:
-        """Per-env keys ``uint32[B, 2]``, a new stream block every call
-        (the framework-wide fold-on-global-index discipline, mesh.batch_keys)."""
-        base = jax.random.fold_in(
-            jax.random.PRNGKey(self._base_seed), self._reset_epoch
-        )
-        self._reset_epoch += 1
-        return batch_keys(base, self.num_envs)
-
     # -- VectorEnv API -------------------------------------------------------
     def reset(self, *, seed: Optional[int] = None, options: Optional[dict] = None):
         if seed is not None:
-            self._base_seed = seed
-            self._reset_epoch = 0
-        states, obs = self._reset_fn(self._fresh_keys())
+            self._keys = _KeyEpochs(seed)
+        states, obs = self._reset_fn(*self._keys.next())
         self._states = states
         infos: dict = {}
         return np.asarray(obs), infos
@@ -135,7 +146,7 @@ class TetrisVectorEnv(VectorEnv):
             raise RuntimeError("call reset() before step()")
         actions = jnp.asarray(np.asarray(actions), dtype=jnp.int32)
         states, obs, reward, done, final_obs, lines = self._step_fn(
-            self._states, actions, self._fresh_keys()
+            self._states, actions, *self._keys.next()
         )
         self._states = states
         terminated = np.asarray(done)
