@@ -63,8 +63,17 @@ def test_init_equivalence(queue_kind):
         EngineConfig(queue_kind="uniform", auto_reset=True),
         EngineConfig(gravity_enabled=False),
         EngineConfig(queue_size=7, holder_size=2),
+        # nonstandard geometries: the packed-row kernels, spawn math,
+        # line compaction and observation unpack must hold off the 10x20
+        # default (padded widths 14..22 of the 32-bit words)
+        EngineConfig(width=6, height=8, auto_reset=True),
+        EngineConfig(width=14, height=24, gravity_enabled=False),
+        EngineConfig(width=9, height=15, padding=4, queue_size=3, auto_reset=True),
     ],
-    ids=["default", "autoreset", "uniform-autoreset", "no-gravity", "big-queue"],
+    ids=[
+        "default", "autoreset", "uniform-autoreset", "no-gravity", "big-queue",
+        "tiny-6x8", "wide-14x24", "odd-9x15",
+    ],
 )
 def test_trajectory_equivalence(config):
     """200 random steps, 16 envs: every field equal at every step."""

@@ -81,8 +81,15 @@ def test_placements_match_flagship_on_played_boards():
 
 @pytest.mark.parametrize(
     "cfg,terminate",
-    [(CFG, True), (CFG_NR, True), (CFG, False)],
-    ids=["autoreset-term", "noreset-term", "autoreset-noop"],
+    [
+        (CFG, True),
+        (CFG_NR, True),
+        (CFG, False),
+        # nonstandard geometry: candidate enumeration (A = width*4), spawn
+        # centering and the [H, A, B] kernels must hold off the default board
+        (EngineConfig(width=7, height=12, gravity_enabled=False, auto_reset=True), True),
+    ],
+    ids=["autoreset-term", "noreset-term", "autoreset-noop", "odd-7x12"],
 )
 def test_random_trajectories_match_flagship(cfg, terminate):
     """Long random placement rollouts: every output equal every step
