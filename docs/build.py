@@ -16,11 +16,13 @@ blocks highlighted.
 from __future__ import annotations
 
 import argparse
+import ast
 import os
 import re
 import shutil
 
 DOCS_DIR = os.path.dirname(os.path.abspath(__file__))
+PACKAGE_DIR = os.path.join(os.path.dirname(DOCS_DIR), "tetris_gymnasium_tpu")
 
 PAGE = """<!DOCTYPE html>
 <html lang="en">
@@ -118,6 +120,67 @@ def build_nav(conv, current: str) -> str:
     return html
 
 
+def _first_paragraph(doc: str | None) -> str:
+    if not doc:
+        return ""
+    return doc.strip().split("\n\n")[0].replace("\n", " ")
+
+
+def _signature(node) -> str:
+    a = node.args
+    parts = [arg.arg for arg in a.posonlyargs + a.args]
+    n_defaults = len(a.defaults)
+    for i in range(n_defaults):
+        parts[len(parts) - n_defaults + i] += "=…"
+    if a.vararg:
+        parts.append("*" + a.vararg.arg)
+    if a.kwonlyargs:
+        if not a.vararg:
+            parts.append("*")
+        parts += [k.arg + ("=…" if d else "") for k, d in zip(a.kwonlyargs, a.kw_defaults)]
+    if a.kwarg:
+        parts.append("**" + a.kwarg.arg)
+    return f"({', '.join(parts)})"
+
+
+def generate_api_page() -> str:
+    """API reference markdown from the package SOURCE (ast — no imports, so
+    the docs build needs neither jax nor the package installed)."""
+    sections = []
+    for root, dirs, files in os.walk(PACKAGE_DIR):
+        dirs[:] = sorted(d for d in dirs if not d.startswith("__"))
+        for f in sorted(files):
+            if not f.endswith(".py") or f == "__init__.py":
+                continue
+            path = os.path.join(root, f)
+            mod = os.path.relpath(path, os.path.dirname(PACKAGE_DIR))[:-3].replace(
+                os.sep, "."
+            )
+            tree = ast.parse(open(path).read())
+            lines = [f"## `{mod}`", "", _first_paragraph(ast.get_docstring(tree)), ""]
+            rows = []
+            for node in tree.body:
+                if isinstance(node, ast.ClassDef) and not node.name.startswith("_"):
+                    rows.append(
+                        f"| `class {node.name}` | "
+                        f"{_first_paragraph(ast.get_docstring(node))} |"
+                    )
+                elif isinstance(
+                    node, (ast.FunctionDef, ast.AsyncFunctionDef)
+                ) and not node.name.startswith("_"):
+                    rows.append(
+                        f"| `{node.name}{_signature(node)}` | "
+                        f"{_first_paragraph(ast.get_docstring(node))} |"
+                    )
+            if rows:
+                lines += ["| symbol | summary |", "|---|---|"] + rows + [""]
+            sections.append("\n".join(lines))
+    return (
+        "# API reference\n\nGenerated from source docstrings by `docs/build.py` "
+        "(every public symbol of every module).\n\n" + "\n".join(sections)
+    )
+
+
 def build(out_dir: str) -> int:
     conv = md_converter()
     css = pygments_css()
@@ -142,7 +205,20 @@ def build(out_dir: str) -> int:
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         with open(dest, "w") as f:
             f.write(page)
-    return len(pages)
+
+    # generated API reference (source-derived, no .md file on disk)
+    conv.reset()
+    body = rewrite_links(conv.convert(generate_api_page()), 0)
+    page = PAGE.format(
+        title="API reference",
+        body=body,
+        nav=build_nav(conv, "api.md"),
+        root="",
+        pygments_css=css,
+    )
+    with open(os.path.join(out_dir, "api.html"), "w") as f:
+        f.write(page)
+    return len(pages) + 1
 
 
 def main():
