@@ -88,17 +88,22 @@ def bench_turbo_step(config: EngineConfig, n_envs: int, horizon: int, repeats: i
     # Two independently-timed blocks, best one reported: the timed section
     # is sub-second while chip/tunnel state varies on the scale of minutes,
     # so a single unlucky window misreports steady-state throughput by
-    # 10-30%.  Each block amortizes its fence over `repeats` rollouts.
+    # 10-30%.  Device arrays accumulate during the block; the single value
+    # fetch (the fence) happens INSIDE the timed window but only once per
+    # block, so per-rollout host round trips never land in `elapsed`.
     best = 0.0
     dones = 0
     for block in range(2):
+        done_outs = []
         t0 = time.perf_counter()
         for i in range(repeats):
             states, _, tot_d = rollout(
                 states, _action_key(n_envs, 1000 + block * repeats + i)
             )
-            dones += int(tot_d)
+            done_outs.append(tot_d)
+        block_dones = int(sum(int(d) for d in done_outs))  # one fence point
         elapsed = time.perf_counter() - t0
+        dones += block_dones
         best = max(best, n_envs * horizon * repeats / elapsed)
     assert dones > 0, "no episode ever terminated — the rollout is not playing"
     return best
@@ -301,7 +306,7 @@ def main():
                 lambda: bench_ppo_train(8192, max(repeats // 2, 1), impl="turbo"),
             ),
         ]
-        if os.environ.get("BENCH_VECTOR_ENV"):
+        if os.environ.get("BENCH_VECTOR_ENV", "0").lower() not in ("0", "", "false"):
             # Off by default: on tunnel-attached dev machines this measures
             # host<->device round-trip latency (~hundreds of ms/step), not
             # the adapter; enable on locally-attached hosts where the numpy

@@ -123,7 +123,8 @@ def build_nav(conv, current: str) -> str:
 def _first_paragraph(doc: str | None) -> str:
     if not doc:
         return ""
-    return doc.strip().split("\n\n")[0].replace("\n", " ")
+    para = doc.strip().split("\n\n")[0].replace("\n", " ")
+    return para.replace("|", "\\|")  # keep markdown table cells intact
 
 
 def _signature(node) -> str:

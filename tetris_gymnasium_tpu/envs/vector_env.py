@@ -31,6 +31,7 @@ from gymnasium import spaces
 from gymnasium.vector import AutoresetMode, VectorEnv
 
 from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.parallel.mesh import batch_keys
 from tetris_gymnasium_tpu.rl.engines import env_fns
 
 
@@ -38,31 +39,29 @@ from tetris_gymnasium_tpu.rl.engines import env_fns
 def _programs(config: EngineConfig, impl: str, num_envs: int):
     """(reset, step) jitted batched programs for the chosen engine.
 
-    ``reset(seed, epoch) -> (states, obs)``;
-    ``step(states, actions, seed, epoch) -> (states', obs', reward,
+    ``reset(base_key, epoch) -> (states, obs)``;
+    ``step(states, actions, base_key, epoch) -> (states', obs', reward,
     terminated, final_obs, lines)`` where ``states'``/``obs'`` already
     contain the same-step restart for terminated envs and ``final_obs`` is
     the pre-restart terminal observation.  Per-env keys are derived INSIDE
     the program from the two scalars (fold_in on seed, epoch, global env
-    index — the framework key discipline), so the host uploads two ints per
-    step, not a ``[B, 2]`` key array.
+    index — the framework key discipline), so the host uploads one fixed
+    key and a uint32 epoch per step, not a ``[B, 2]`` key array.
     """
     init, step, observe = env_fns(config, impl)
 
-    def keys_for(seed, epoch):
-        base = jax.random.fold_in(jax.random.PRNGKey(seed), epoch)
-        return jax.vmap(lambda i: jax.random.fold_in(base, i))(
-            jnp.arange(num_envs, dtype=jnp.uint32)
-        )
+    def keys_for(base_key, epoch):
+        # the framework key discipline (mesh.batch_keys), traced in-jit
+        return batch_keys(jax.random.fold_in(base_key, epoch), num_envs)
 
-    def reset_fn(seed, epoch):
-        states = init(keys_for(seed, epoch))
+    def reset_fn(base_key, epoch):
+        states = init(keys_for(base_key, epoch))
         return states, observe(states)
 
-    def step_fn(states, actions, seed, epoch):
+    def step_fn(states, actions, base_key, epoch):
         states2, _, reward, done, info = step(states, actions)
         final_obs = observe(states2)
-        fresh = init(keys_for(seed, epoch))
+        fresh = init(keys_for(base_key, epoch))
         # batch-minor (turbo) leaves broadcast done on the last axis;
         # batch-leading (flagship vmap) on the first.
         def sel(a, b):
@@ -79,18 +78,22 @@ def _programs(config: EngineConfig, impl: str, num_envs: int):
 
 
 class _KeyEpochs:
-    """Host-side (seed, epoch) counter for the in-jit key derivation."""
+    """Host-side (base key, epoch) counter for the in-jit key derivation.
 
-    __slots__ = ("seed", "epoch")
+    The base key is built ONCE per (re)seed with ``jax.random.PRNGKey`` —
+    which accepts 64-bit Python seeds — and passed as an array, so only the
+    uint32 epoch scalar changes per step."""
+
+    __slots__ = ("base_key", "epoch")
 
     def __init__(self, seed: int):
-        self.seed = seed
+        self.base_key = jax.random.PRNGKey(seed)
         self.epoch = 0
 
     def next(self):
         e = self.epoch
         self.epoch += 1
-        return jnp.int32(self.seed), jnp.uint32(e)
+        return self.base_key, jnp.uint32(e)
 
 
 class TetrisVectorEnv(VectorEnv):

@@ -47,7 +47,6 @@ def main():
         # at >100M steps/s (7 x 2.4B piece counts in the first soak run).
         acc0 = {
             "episodes": jnp.int32(0),
-            "reward": jnp.float32(0),
             "clears": jnp.zeros(4, jnp.int32),
             "pieces": jnp.zeros(7, jnp.int32),
             "max_score": jnp.float32(0),
@@ -57,7 +56,7 @@ def main():
         def one(carry, _):
             s, k, acc = carry
             k, a = orng.randint(k, 8)
-            s2, _, r, d, info = turbo.step(s, a, config=config)
+            s2, _, _r, d, info = turbo.step(s, a, config=config)
             lines = info["lines_cleared"]
             clears = jnp.stack(
                 [jnp.sum((lines == n).astype(jnp.int32)) for n in (1, 2, 3, 4)]
@@ -67,7 +66,6 @@ def main():
             )
             acc = {
                 "episodes": acc["episodes"] + jnp.sum(d),
-                "reward": acc["reward"] + jnp.sum(r),
                 "clears": acc["clears"] + clears,
                 "pieces": acc["pieces"] + piece_hist,
                 "max_score": jnp.maximum(acc["max_score"], jnp.max(s2.score)),
@@ -96,7 +94,8 @@ def main():
         score_bad = score_bad or bool(acc["score_bad"])
 
     states, k, acc = chunk(states, k)  # warm-up/compile
-    absorb(acc)  # host fetches fence every chunk
+    bool(acc["score_bad"])  # fence the warm-up; its counters are DISCARDED
+    # so totals correspond exactly to the `steps` counted below
     t0 = time.perf_counter()
     steps = 0
     while time.perf_counter() - t0 < budget_s:
@@ -122,7 +121,11 @@ def main():
 
     assert not result["score_invariant_violated"], "score went NaN/negative"
     assert result["episodes"] > 0, "auto-reset stopped terminating episodes"
-    assert clears[0] > 1000, f"line clears dried up: {clears}"
+    # observed single-clear rate under random play: ~0.6-0.8 per million
+    # steps; require at least a quarter of that so short budgets pass too
+    assert clears[0] > steps / 5e6, (
+        f"line clears dried up: {clears} over {steps} steps"
+    )
     assert clears[0] >= clears[1] >= clears[2] >= clears[3], (
         f"clear-type ordering violated under random play: {clears}"
     )
