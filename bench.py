@@ -85,15 +85,19 @@ def bench_turbo_step(config: EngineConfig, n_envs: int, horizon: int, repeats: i
     states, _, tot_d = rollout(states, _action_key(n_envs, 7))
     int(tot_d)
 
-    # Two independently-timed blocks, best one reported: the timed section
+    # Three independently-timed blocks, MEDIAN reported: the timed section
     # is sub-second while chip/tunnel state varies on the scale of minutes,
     # so a single unlucky window misreports steady-state throughput by
-    # 10-30%.  Device arrays accumulate during the block; the single value
-    # fetch (the fence) happens INSIDE the timed window but only once per
-    # block, so per-rollout host round trips never land in `elapsed`.
-    best = 0.0
+    # 10-30%.  A median is robust to one bad window without the upward bias
+    # of a max statistic (rounds 1-2 reported a single block, round 3 the
+    # best of two — archived BENCH_rXX.json extras carry the per-block
+    # values and the statistic label so rounds stay comparable).  Device
+    # arrays accumulate during a block; the single value fetch (the fence)
+    # happens INSIDE the timed window but only once per block, so
+    # per-rollout host round trips never land in `elapsed`.
+    blocks = []
     dones = 0
-    for block in range(2):
+    for block in range(3):
         done_outs = []
         t0 = time.perf_counter()
         for i in range(repeats):
@@ -104,9 +108,9 @@ def bench_turbo_step(config: EngineConfig, n_envs: int, horizon: int, repeats: i
         block_dones = int(sum(int(d) for d in done_outs))  # one fence point
         elapsed = time.perf_counter() - t0
         dones += block_dones
-        best = max(best, n_envs * horizon * repeats / elapsed)
+        blocks.append(n_envs * horizon * repeats / elapsed)
     assert dones > 0, "no episode ever terminated — the rollout is not playing"
-    return best
+    return sorted(blocks)[1], blocks
 
 
 def bench_actor_feed(config: EngineConfig, n_envs: int, horizon: int, repeats: int):
@@ -274,14 +278,18 @@ def main():
 
     # BENCH_PROFILE=<dir> captures a jax.profiler trace of the headline run.
     with profiling.trace(os.environ.get("BENCH_PROFILE")):
-        steps_per_sec = bench_turbo_step(config, n_envs, horizon, repeats)
+        steps_per_sec, blocks = bench_turbo_step(config, n_envs, horizon, repeats)
 
     # Print the headline immediately: uncached compiles through a remote
     # tunnel can be slow, and if the process is killed during the extras,
     # the LAST stdout line is still a valid result.
-    print(_result_line(steps_per_sec, {}), flush=True)
+    headline_meta = {
+        "headline_stat": "median-of-3-blocks",
+        "headline_blocks": [round(b) for b in blocks],
+    }
+    print(_result_line(steps_per_sec, dict(headline_meta)), flush=True)
 
-    extras = {}
+    extras = dict(headline_meta)
     if full:
         # Each extra runs under its own try/except: a regression in one
         # BASELINE workload must neither hide the others nor silently drop
