@@ -72,6 +72,11 @@ def test_same_step_autoreset_delivers_final_obs(venv):
         if term.any():
             assert "final_obs" in infos and "_final_obs" in infos
             np.testing.assert_array_equal(infos["_final_obs"], term)
+            # Gymnasium SAME_STEP convention: object array, None for live
+            # envs (consumers run `final_obs[i] is not None` loops)
+            assert infos["final_obs"].dtype == object
+            for b in np.nonzero(~term)[0]:
+                assert infos["final_obs"][b] is None
             for b in np.nonzero(term)[0]:
                 # terminal board is a dead stack; the same-step reset obs is
                 # a fresh episode's first observation (near-empty board)

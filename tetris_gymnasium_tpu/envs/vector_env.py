@@ -61,6 +61,15 @@ def _programs(config: EngineConfig, impl: str, num_envs: int):
     def step_fn(states, actions, base_key, epoch):
         states2, _, reward, done, info = step(states, actions)
         final_obs = observe(states2)
+        # A full fresh init + a second full-batch observe run EVERY step,
+        # terminations or not: the program is one fixed-shape trace, so the
+        # common no-termination step pays for both.  Measured cost on the
+        # turbo path: init ~70 µs and observe ~160 µs per launch at B=8192
+        # (docs/scale/training_perf.md) vs ~175 µs for the step itself —
+        # roughly 2x the pure-scan path per step, dwarfed in practice by
+        # this adapter's host<->device numpy boundary.  If it ever shows in
+        # a profile, seed one fresh init per reset() and reuse it with
+        # per-env fold_in on a device step counter.
         fresh = init(keys_for(base_key, epoch))
         # batch-minor (turbo) leaves broadcast done on the last axis;
         # batch-leading (flagship vmap) on the first.
@@ -158,7 +167,15 @@ class TetrisVectorEnv(VectorEnv):
             "_lines_cleared": np.ones(self.num_envs, dtype=bool),
         }
         if terminated.any():
-            infos["final_obs"] = np.asarray(final_obs)
+            # Gymnasium's SAME_STEP convention delivers final_obs as an
+            # OBJECT array with None for non-terminated envs (consumers
+            # write `final_obs[i] is not None` loops); a dense [B, H, W]
+            # array would hand those loops a stale board for live envs.
+            fo = np.asarray(final_obs)
+            obj = np.full(self.num_envs, None, dtype=object)
+            for i in np.nonzero(terminated)[0]:
+                obj[i] = fo[i]
+            infos["final_obs"] = obj
             infos["_final_obs"] = terminated
         return (
             np.asarray(obs),
