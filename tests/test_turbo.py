@@ -267,3 +267,55 @@ def test_surgery_within_envelope_is_silent_under_debug_flag(monkeypatch):
         np.asarray(tinfo["lines_cleared"]), np.asarray(einfo["lines_cleared"])
     )
     _assert_states_match(ts2, es2, "surgery4")
+
+
+def test_surgery_overflow_terminates_always_on():
+    """ALWAYS-ON safety (no debug flag): > max_clear simultaneously-full
+    rows terminate the env (game_over + its reward) instead of playing on
+    from a mis-compacted board."""
+    config = EngineConfig(auto_reset=False)
+    es, ts = _surgery_states(config, n_full_rows=5)
+    drop = jnp.full((2,), 5, jnp.int32)
+    ts2, _, tr, td, _ = jax.jit(functools.partial(turbo.step, config=config))(ts, drop)
+    assert np.asarray(td).all(), "overflow must terminate"
+    assert np.asarray(ts2.game_over).all()
+    np.testing.assert_allclose(np.asarray(tr), 0.0)  # game_over reward
+
+
+def test_surgery_overflow_autoreset_restarts_cleanly():
+    """Under auto_reset the overflow-terminated env restarts as a fresh
+    episode (empty playfield) — defined behavior, never a corrupt board."""
+    config = EngineConfig(auto_reset=True)
+    _, ts = _surgery_states(config, n_full_rows=5)
+    drop = jnp.full((2,), 5, jnp.int32)
+    ts2, _, _, td, _ = jax.jit(functools.partial(turbo.step, config=config))(ts, drop)
+    assert np.asarray(td).all()
+    fresh_rows = np.asarray(
+        jnp.asarray(bb.empty_rows(config.height, config.width, config.padding))
+    )
+    np.testing.assert_array_equal(np.asarray(ts2.rows), fresh_rows[:, None].repeat(2, 1))
+    assert not np.asarray(ts2.game_over).any()
+
+
+def test_surgery_overflow_grouped_candidates_are_game_over():
+    """Grouped engine on a 5-full-row board: every resting candidate is a
+    game-over placement (zeros sentinel), none silently mis-compacts."""
+    from tetris_gymnasium_tpu.core import turbo_grouped
+
+    config = EngineConfig(gravity_enabled=False, auto_reset=False)
+    _, ts = _surgery_states(config, n_full_rows=5)
+    feats, mask, game_over, lines = turbo_grouped.placements(ts, config)
+    legal = np.asarray(mask) > 0
+    assert legal.any()
+    # every legal candidate rests on the 5-row stack -> overflow -> game over
+    assert np.asarray(game_over)[legal].all()
+    assert (np.asarray(lines)[legal] == 0).all()
+    # game-over sentinel features are all-zeros (ref: grouped.py:164-177)
+    f = np.asarray(feats)  # [F, A, B]
+    assert (f.transpose(1, 2, 0)[legal] == 0).all()
+    # with the envelope widened the same candidates clear 5+ rows normally
+    _, _, go_wide, lines_wide = turbo_grouped.placements(
+        ts, config, max_clear=config.height
+    )
+    assert (np.asarray(lines_wide)[legal] >= 5).all()
+    assert not np.asarray(go_wide)[legal].any()

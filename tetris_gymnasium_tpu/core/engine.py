@@ -28,6 +28,7 @@ from flax import struct
 
 from tetris_gymnasium_tpu.config import ActionsMapping, EngineConfig, RewardsMapping
 from tetris_gymnasium_tpu.ops import bitboard as bb
+from tetris_gymnasium_tpu.ops import bitboard_wide as bbw
 from tetris_gymnasium_tpu.ops import rng as orng
 from tetris_gymnasium_tpu.ops.board import (
     collision,
@@ -40,6 +41,18 @@ from tetris_gymnasium_tpu.utils.tree import select_tree
 
 ACTIONS = ActionsMapping()
 REWARDS = RewardsMapping()
+
+
+def _kb(config: EngineConfig):
+    """Bit-kernel module for this geometry, selected at trace time.
+
+    Boards whose padded rows fit one uint32 word use :mod:`ops.bitboard`
+    (the headline hot path, byte-identical to before wide-board support);
+    wider boards — any geometry the reference OOP env accepts
+    (ref: envs/tetris.py:77-107) — use the multi-word
+    :mod:`ops.bitboard_wide` with the same API over ``uint32[H, NW]`` rows.
+    """
+    return bb if config.padded_width <= 32 else bbw
 
 
 def piece_box(pieces: PieceSet, piece: jnp.ndarray) -> jnp.ndarray:
@@ -264,25 +277,26 @@ def _commit(
     clear with ``(lines**2)*width + alife`` reward, the next piece spawns and
     a spawn collision ends the game with the game_over reward.
     """
+    kb = _kb(config)
     pieces = pieces.jx()
     pw = config.padded_width
     size = int(rtab.shape[-1])
     mat = piece_matrix(pieces, state.piece, state.rotation)
-    rb = bb.piece_row_bits(rtab, state.piece, state.rotation)
-    pre_over = bb.collision_at(hm, state.y, size)
+    rb = kb.piece_row_bits(rtab, state.piece, state.rotation)
+    pre_over = kb.collision_at(hm, state.y, size)
 
-    dist = bb.drop_from_map(hm, state.y, size)
+    dist = kb.drop_from_map(hm, state.y, size)
     y_f = state.y + dist
     stamped = project(state.board, mat, state.x, y_f, piece_id(pieces, state.piece))
-    stamped_rows = bb.project(rows, rb, state.x, y_f, pw)
-    cleared_rows, lines, filled = bb.clear_lines(
+    stamped_rows = kb.project(rows, rb, state.x, y_f, pw)
+    cleared_rows, lines, filled = kb.clear_lines(
         stamped_rows, config.height, config.width, config.padding
     )
     # re-pad with fresh bedrock exactly like ops.board.clear_lines (projection
     # may have added into the pad region; the clear resets it)
     pad = config.padding
     cleared = jnp.pad(
-        bb.compact_ids(stamped[: config.height, pad:-pad], filled),
+        kb.compact_ids(stamped[: config.height, pad:-pad], filled),
         ((0, pad), (pad, pad)),
         constant_values=jnp.int8(1),
     )
@@ -291,8 +305,8 @@ def _commit(
         state.queue, state.bag, state.bag_index, state.key, config
     )
     sx = spawn_x_classic(config.padded_width, piece_box(pieces, new_piece))
-    rb_new = bb.piece_row_bits(rtab, new_piece, jnp.int32(0))
-    spawn_over = bb.collision(cleared_rows, rb_new, sx, jnp.int32(0), pw)
+    rb_new = kb.piece_row_bits(rtab, new_piece, jnp.int32(0))
+    spawn_over = kb.collision(cleared_rows, rb_new, sx, jnp.int32(0), pw)
 
     line_reward = (lines * lines * config.width).astype(jnp.float32)
     reward = jnp.where(
@@ -373,17 +387,18 @@ def _apply_action(state: EngineState, rows, action, config: EngineConfig, pieces
     All collision probes run on the bit-packed ``rows`` (shift+AND hit maps,
     :mod:`ops.bitboard`); the board itself is untouched in this phase.
     """
+    kb = _kb(config)
     pw = config.padded_width
     size = int(rtab.shape[-1])
-    rb = bb.piece_row_bits(rtab, state.piece, state.rotation)
+    rb = kb.piece_row_bits(rtab, state.piece, state.rotation)
 
     # translations
     dx = jnp.where(action == ACTIONS.move_left, -1, jnp.where(action == ACTIONS.move_right, 1, 0))
     x_cand = state.x + dx
-    hm_cand = bb.hit_map(rows, bb.shift_piece(rb, x_cand, pw))
-    x = jnp.where((dx != 0) & ~bb.collision_at(hm_cand, state.y, size), x_cand, state.x)
-    hm_x = bb.hit_map(rows, bb.shift_piece(rb, x, pw))
-    down = (action == ACTIONS.move_down) & ~bb.collision_at(hm_x, state.y + 1, size)
+    hm_cand = kb.hit_map(rows, kb.shift_piece(rb, x_cand, pw))
+    x = jnp.where((dx != 0) & ~kb.collision_at(hm_cand, state.y, size), x_cand, state.x)
+    hm_x = kb.hit_map(rows, kb.shift_piece(rb, x, pw))
+    down = (action == ACTIONS.move_down) & ~kb.collision_at(hm_x, state.y + 1, size)
     y = state.y + down.astype(jnp.int32)
 
     # rotations (checked at the updated position)
@@ -393,8 +408,8 @@ def _apply_action(state: EngineState, rows, action, config: EngineConfig, pieces
         jnp.where(action == ACTIONS.rotate_counterclockwise, -1, 0),
     )
     rot_cand = jnp.mod(state.rotation + rot_dir, 4)
-    rb_cand = bb.piece_row_bits(rtab, state.piece, rot_cand)
-    rot_ok = ~bb.collision(rows, rb_cand, x, y, pw)
+    rb_cand = kb.piece_row_bits(rtab, state.piece, rot_cand)
+    rot_ok = ~kb.collision(rows, rb_cand, x, y, pw)
     rotation = jnp.where((rot_dir != 0) & rot_ok, rot_cand, state.rotation)
 
     moved = state.replace(x=x, y=y, rotation=rotation)
@@ -423,21 +438,16 @@ def step(
     fresh one (new PRNG stream split from the old); ``done`` still reports the
     termination so trajectory buffers see the episode boundary.
     """
-    if config.padded_width > 32:
-        raise NotImplementedError(
-            "flagship engine packs board rows into uint32: width + 2*padding "
-            f"must be <= 32 (got {config.padded_width}); use the compat "
-            "engine (core.fn_env) for wider boards"
-        )
+    kb = _kb(config)
     obs_fn = obs_fn or observe_dict
-    rtab = bb.row_bits_table(pieces)
-    rows = bb.pack_board(state.board)
+    rtab = kb.row_bits_table(pieces)
+    rows = kb.pack_board(state.board)
     s1 = _apply_action(state, rows, action, config, pieces, rtab)
 
     is_drop = action == ACTIONS.hard_drop
-    rb1 = bb.piece_row_bits(rtab, s1.piece, s1.rotation)
-    hm1 = bb.hit_map(rows, bb.shift_piece(rb1, s1.x, config.padded_width))
-    grav_free = ~bb.collision_at(hm1, s1.y + 1, int(rtab.shape[-1]))
+    rb1 = kb.piece_row_bits(rtab, s1.piece, s1.rotation)
+    hm1 = kb.hit_map(rows, kb.shift_piece(rb1, s1.x, config.padded_width))
+    grav_free = ~kb.collision_at(hm1, s1.y + 1, int(rtab.shape[-1]))
 
     if config.gravity_enabled:
         fall = ~is_drop & grav_free

@@ -30,12 +30,21 @@ randomizer strategies, in the same order.  ``tests/test_turbo.py`` pins this
 field-for-field over long random rollouts, which transitively inherits the
 flagship's parity tests against the reference OOP env.
 
-Known restriction (documented, static): line-clear compaction assumes at most
-``max_clear`` (default 4) rows clear in one lock — always true for any state
-the engine itself can reach, since a piece spans at most 4 rows and already-
-full rows cannot exist between locks.  States hand-built with >4 pre-filled
-rows (board surgery) belong on the flagship engine, or pass
-``max_clear=config.height``.
+Line-clear envelope (static): compaction assumes at most ``max_clear``
+(default 4) rows clear in one lock — always true for any state the engine
+itself can reach, since a piece spans at most 4 rows and already-full rows
+cannot exist between locks.  A hand-built board beyond the envelope is
+ALWAYS handled safely: the env terminates (``game_over`` + its reward)
+instead of playing on from a mis-compacted board
+(tests/test_turbo.py::test_surgery_overflow_terminates_always_on); pass
+``max_clear=config.height`` to actually clear >4 rows, or set
+``TETRIS_TPU_DEBUG=1`` before the first jit for a loud failure.
+
+Any board geometry is supported: padded widths beyond one uint32 word use
+the multi-word kernels' layout (rows ``uint32[H, NW, B]``,
+:mod:`ops.bitboard_wide` semantics), selected at trace time — the
+single-word hot path is untouched.  Parity at wide geometries is pinned in
+``tests/test_wide_boards.py``.
 """
 from __future__ import annotations
 
@@ -50,6 +59,7 @@ from flax import struct
 
 from tetris_gymnasium_tpu.config import ActionsMapping, EngineConfig, RewardsMapping
 from tetris_gymnasium_tpu.ops import bitboard as bb
+from tetris_gymnasium_tpu.ops import bitboard_wide as bw
 from tetris_gymnasium_tpu.ops import rng as orng
 from tetris_gymnasium_tpu.pieces import PIECES, PieceSet
 from tetris_gymnasium_tpu.utils.tree import select_tree
@@ -68,7 +78,8 @@ class TurboState:
     """
 
     key: jnp.ndarray  # uint32[2, B] counter-RNG state per env
-    rows: jnp.ndarray  # uint32[H, B] packed occupancy (bit w = column w)
+    rows: jnp.ndarray  # uint32[H, B] packed occupancy (bit w = column w);
+    #   boards wider than one word carry a word axis: uint32[H, NW, B]
     piece: jnp.ndarray  # int32[B]
     rotation: jnp.ndarray  # int32[B]
     x: jnp.ndarray  # int32[B]
@@ -165,9 +176,26 @@ def _row_bits_spawn(t: _Tables, piece: jnp.ndarray) -> jnp.ndarray:
 
 
 def _shift(rb: jnp.ndarray, x: jnp.ndarray, width: int) -> jnp.ndarray:
-    """x-shifted piece rows ``uint32[S, B]`` (dynamic_slice start clamping)."""
-    xc = _clamp_start(x, width - rb.shape[0], width).astype(jnp.uint32)
-    return rb << xc
+    """x-shifted piece rows (dynamic_slice start clamping).
+
+    ``width <= 32``: ``uint32[S, *batch]`` single words (the hot path,
+    unchanged).  Wider boards: ``uint32[S, NW, *batch]`` — each piece row
+    splits into a low word ``rb << (x % 32)`` at word ``x // 32`` and a
+    guarded carry ``rb >> (32 - x % 32)`` at the next word (a shift by 32
+    would be undefined; the carry is zero then anyway).
+    """
+    xc = _clamp_start(x, width - rb.shape[0], width)
+    if width <= 32:
+        return rb << xc.astype(jnp.uint32)
+    nw = (width + 31) // 32
+    word = (xc // 32).astype(jnp.int32)  # [*batch]
+    off = (xc % 32).astype(jnp.uint32)
+    lo = rb << off  # [S, *batch]
+    hi = jnp.where(off == 0, jnp.uint32(0), rb >> (jnp.uint32(32) - off))
+    j = jnp.arange(nw, dtype=jnp.int32).reshape((1, nw) + (1,) * xc.ndim)
+    return jnp.where(j == word, lo[:, None], jnp.uint32(0)) | jnp.where(
+        j == word + 1, hi[:, None], jnp.uint32(0)
+    )
 
 
 def _h_iota(H: int, ndim: int) -> jnp.ndarray:
@@ -191,6 +219,27 @@ def _hit_map(rows: jnp.ndarray, sp: jnp.ndarray) -> jnp.ndarray:
         )
         acc = acc | (shifted & sp[s])
     return acc != 0
+
+
+def _hit_map_r(rows: jnp.ndarray, sp: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Hit map with the word axis OR-reduced away (identity when one word).
+
+    Multi-word rows ``[H, NW, *batch]`` produce per-word overlap flags; the
+    consumers (``_collision_at`` / ``_drop_from_map``) are word-free, so the
+    reduction happens here.  ``width`` is the static padded width.
+    """
+    hm = _hit_map(rows, sp)
+    return hm if width <= 32 else jnp.any(hm, axis=1)
+
+
+def _spawn_overlap(rows: jnp.ndarray, sp: jnp.ndarray, width: int) -> jnp.ndarray:
+    """``bool[*batch]`` overlap of spawn-shifted piece rows with rows 0..S-1."""
+    over = None
+    for s in range(sp.shape[0]):
+        hit = rows[s] & sp[s]
+        h = (hit != 0) if width <= 32 else jnp.any(hit != 0, axis=0)
+        over = h if over is None else over | h
+    return over
 
 
 def _collision_at(hm: jnp.ndarray, y: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -222,6 +271,69 @@ def _project(rows: jnp.ndarray, sp: jnp.ndarray, y: jnp.ndarray, size: int) -> j
     return out
 
 
+def _envelope_debug(n: jnp.ndarray, config: EngineConfig, max_clear: int) -> None:
+    """Opt-in loud failure when the compaction envelope is exceeded.
+
+    Engine-reachable states always satisfy ``n <= 4`` (a piece spans <= 4
+    rows and full rows cannot persist between locks); a hand-built board can
+    exceed it.  The ALWAYS-ON mitigation lives in the callers (`_commit`
+    marks the env ``game_over``, the grouped engine marks the candidate a
+    game-over placement), so surgery can never silently corrupt a live
+    trajectory; with ``TETRIS_TPU_DEBUG=1`` the violation additionally
+    raises.  NOTE: the flag is captured at TRACE time (a per-step host
+    callback is too expensive to install unconditionally on this hot path)
+    — set it before the first jit of the process.
+    """
+    if max_clear < config.height and os.environ.get("TETRIS_TPU_DEBUG"):
+        def _check_envelope(over):
+            if over:
+                raise ValueError(
+                    f"turbo _clear_lines: more than max_clear={max_clear} "
+                    "simultaneously-full rows — hand-built board? pass "
+                    "max_clear=config.height or use the flagship engine"
+                )
+
+        jax.debug.callback(_check_envelope, jnp.any(n > max_clear))
+
+
+def _clear_lines_wide(
+    rows: jnp.ndarray, config: EngineConfig, max_clear: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-word `_clear_lines`: rows ``uint32[H, NW, *batch]``.
+
+    Identical static-shift compaction; the playfield/side masks become
+    per-word constants and the filled test AND-reduces across words.
+    """
+    height = config.height
+    nw = (config.padded_width + 31) // 32
+    batch = rows.shape[2:]
+    shape1 = (1, nw) + (1,) * len(batch)
+    pm = jnp.asarray(bw.play_mask_words(config.width, config.padding)).reshape(shape1)
+    side = jnp.asarray(bw.side_mask_words(config.width, config.padding)).reshape(shape1)
+
+    inner = rows[:height]  # [height, NW, *batch]
+    filled = jnp.all((inner & pm) == pm, axis=1)  # [height, *batch]
+    n = jnp.sum(filled.astype(jnp.int32), axis=0)
+    _envelope_debug(n, config, max_clear)
+
+    below_incl = jnp.cumsum(filled[::-1].astype(jnp.int32), axis=0)[::-1]
+    sh = below_incl - filled.astype(jnp.int32)
+    keep = ~filled
+
+    acc = jnp.broadcast_to(side, (height, nw) + batch)
+    for k in range(min(max_clear, height) + 1):
+        move_k = keep & (sh == k)
+        if k:
+            pad_m = jnp.zeros((k,) + batch, dtype=jnp.bool_)
+            pad_r = jnp.broadcast_to(side, (k, nw) + batch)
+            move_k = jnp.concatenate([pad_m, move_k[: height - k]], axis=0)
+            src = jnp.concatenate([pad_r, inner[: height - k]], axis=0)
+        else:
+            src = inner
+        acc = jnp.where(move_k[:, None], src, acc)  # word axis broadcasts
+    return jnp.concatenate([acc, rows[height:]], axis=0), n
+
+
 def _clear_lines(
     rows: jnp.ndarray, config: EngineConfig, max_clear: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -234,6 +346,8 @@ def _clear_lines(
     per-env permutation matrix (the flagship's ``[20, 20]`` one-hot matvec)
     and no sort.
     """
+    if config.padded_width > 32:
+        return _clear_lines_wide(rows, config, max_clear)
     height = config.height
     batch = rows.shape[1:]
     pm = jnp.uint32(bb.play_mask(config.width, config.padding))
@@ -242,26 +356,7 @@ def _clear_lines(
     inner = rows[:height]
     filled = (inner & pm) == pm  # [height, *batch]
     n = jnp.sum(filled.astype(jnp.int32), axis=0)  # [*batch]
-
-    # Envelope guard: engine-reachable states always satisfy n <= 4 (a piece
-    # spans <= 4 rows and full rows cannot persist between locks), but a
-    # hand-built board (the reference test suite's own style is board
-    # surgery) can exceed it and would compact silently wrong.  With
-    # TETRIS_TPU_DEBUG=1 the violation raises at run time instead.
-    # NOTE: the flag is captured at TRACE time (a per-step host callback is
-    # too expensive to install unconditionally on this hot path) — set it
-    # before the first jit of the process; flipping it later has no effect
-    # on already-compiled/cached programs.
-    if max_clear < height and os.environ.get("TETRIS_TPU_DEBUG"):
-        def _check_envelope(over):
-            if over:
-                raise ValueError(
-                    f"turbo _clear_lines: more than max_clear={max_clear} "
-                    "simultaneously-full rows — hand-built board? pass "
-                    "max_clear=config.height or use the flagship engine"
-                )
-
-        jax.debug.callback(_check_envelope, jnp.any(n > max_clear))
+    _envelope_debug(n, config, max_clear)
 
     # sh[h] = filled rows strictly below h (reverse exclusive cumsum)
     below_incl = jnp.cumsum(filled[::-1].astype(jnp.int32), axis=0)[::-1]
@@ -343,8 +438,12 @@ def _init_from_key(key2b: jnp.ndarray, config: EngineConfig, pieces: PieceSet) -
         queue = jnp.stack(qs)
 
     H = config.padded_height
-    empty = bb.empty_rows(config.height, config.width, config.padding)  # [H]
-    rows = jnp.broadcast_to(jnp.asarray(empty)[:, None], (H, B))
+    if config.padded_width <= 32:
+        empty = bb.empty_rows(config.height, config.width, config.padding)  # [H]
+        rows = jnp.broadcast_to(jnp.asarray(empty)[:, None], (H, B))
+    else:
+        empty = bw.empty_rows(config.height, config.width, config.padding)  # [H, NW]
+        rows = jnp.broadcast_to(jnp.asarray(empty)[:, :, None], (H, empty.shape[1], B))
     hs = config.holder_size
     zi = jnp.zeros((B,), dtype=jnp.int32)
     return TurboState(
@@ -370,11 +469,6 @@ def _init_from_key(key2b: jnp.ndarray, config: EngineConfig, pieces: PieceSet) -
 
 def init(keys: jnp.ndarray, config: EngineConfig, pieces: PieceSet = PIECES) -> TurboState:
     """Fresh batch from per-env keys ``[B, 2]`` (e.g. ``mesh.batch_keys``)."""
-    if config.padded_width > 32:
-        raise NotImplementedError(
-            "turbo engine packs board rows into uint32: width + 2*padding "
-            f"must be <= 32 (got {config.padded_width})"
-        )
     return _init_from_key(jnp.asarray(keys, dtype=jnp.uint32).T, config, pieces)
 
 
@@ -432,9 +526,9 @@ def _apply_action(state: TurboState, action, t: _Tables, config: EngineConfig, p
         action == ACTIONS.move_left, -1, jnp.where(action == ACTIONS.move_right, 1, 0)
     )
     x_cand = state.x + dx
-    hm_cand = _hit_map(rows, _shift(rb, x_cand, pw))
+    hm_cand = _hit_map_r(rows, _shift(rb, x_cand, pw), pw)
     x = jnp.where((dx != 0) & ~_collision_at(hm_cand, state.y, S), x_cand, state.x)
-    hm_x = _hit_map(rows, _shift(rb, x, pw))
+    hm_x = _hit_map_r(rows, _shift(rb, x, pw), pw)
     down = (action == ACTIONS.move_down) & ~_collision_at(hm_x, state.y + 1, S)
     y = state.y + down.astype(jnp.int32)
 
@@ -445,7 +539,7 @@ def _apply_action(state: TurboState, action, t: _Tables, config: EngineConfig, p
     )
     rot_cand = jnp.mod(state.rotation + rot_dir, 4)
     rb_cand = _row_bits(t, state.piece, rot_cand)
-    hm_rot = _hit_map(rows, _shift(rb_cand, x, pw))
+    hm_rot = _hit_map_r(rows, _shift(rb_cand, x, pw), pw)
     rot_ok = ~_collision_at(hm_rot, y, S)
     rotation = jnp.where((rot_dir != 0) & rot_ok, rot_cand, state.rotation)
 
@@ -482,9 +576,12 @@ def _commit(
     sx = _spawn_x(t, config, new_piece)
     sp_new = _shift(_row_bits_spawn(t, new_piece), sx, pw)
     # spawn collision at y=0: overlap of the first S rows only
-    spawn_over = jnp.zeros_like(pre_over)
-    for s in range(S):
-        spawn_over = spawn_over | ((cleared_rows[s] & sp_new[s]) != 0)
+    spawn_over = _spawn_overlap(cleared_rows, sp_new, pw)
+    # Always-on envelope safety: >max_clear simultaneously-full rows can
+    # only come from board surgery (see _envelope_debug); the compaction
+    # above clamped at max_clear shifts, so instead of playing on from a
+    # mis-compacted board the env terminates (game_over + its reward).
+    spawn_over = spawn_over | (lines > max_clear)
 
     line_reward = (lines * lines * config.width).astype(jnp.float32)
     reward = jnp.where(
@@ -536,7 +633,7 @@ def step(
 
     is_drop = action == ACTIONS.hard_drop
     rb1 = _row_bits(t, s1.piece, s1.rotation)
-    hm1 = _hit_map(rows, _shift(rb1, s1.x, config.padded_width))
+    hm1 = _hit_map_r(rows, _shift(rb1, s1.x, config.padded_width), config.padded_width)
     grav_free = ~_collision_at(hm1, s1.y + 1, t.size)
 
     if config.gravity_enabled:
@@ -586,10 +683,29 @@ def unpack_playfield(rows: jnp.ndarray, config: EngineConfig, dtype) -> jnp.ndar
     """
     H, pad, W = config.height, config.padding, config.width
     nd = rows.ndim
-    perm = tuple(range(nd - 1, 0, -1)) + (0,)  # [H, *batch] -> [*rev(batch), H]
-    words = jnp.transpose(rows[:H], perm)[..., None]
-    shifts = jnp.arange(pad, pad + W, dtype=jnp.uint32)  # [W]
-    return ((words >> shifts) & 1).astype(dtype)
+    if config.padded_width <= 32:
+        perm = tuple(range(nd - 1, 0, -1)) + (0,)  # [H, *batch] -> [*rev(batch), H]
+        words = jnp.transpose(rows[:H], perm)[..., None]
+        shifts = jnp.arange(pad, pad + W, dtype=jnp.uint32)  # [W]
+        return ((words >> shifts) & 1).astype(dtype)
+    # multi-word rows [H, NW, *batch]: transpose packed words to
+    # [*rev(batch), H, NW], unpack each word's 32 bits along a fresh axis,
+    # then slice the playfield columns out of the flattened bit axis.
+    nw = rows.shape[1]
+    perm = tuple(range(nd - 1, 1, -1)) + (0, 1)
+    words = jnp.transpose(rows[:H], perm)  # [*rev(batch), H, NW]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (words[..., None] >> shifts) & 1  # [*rev(batch), H, NW, 32]
+    flat = bits.reshape(bits.shape[:-2] + (nw * 32,))
+    return flat[..., pad : pad + W].astype(dtype)
+
+
+def _col_bits(rows: jnp.ndarray, col: int, config: EngineConfig) -> jnp.ndarray:
+    """``bool[H_slice, *batch]`` occupancy of absolute padded column ``col``
+    (static), word-aware: multi-word rows index word ``col // 32``."""
+    if config.padded_width <= 32:
+        return ((rows >> jnp.uint32(col)) & 1) != 0
+    return ((rows[:, col // 32] >> jnp.uint32(col % 32)) & 1) != 0
 
 
 def observe_board(state: TurboState, config: EngineConfig, pieces: PieceSet = PIECES) -> jnp.ndarray:
@@ -626,7 +742,7 @@ def heights(state: TurboState, config: EngineConfig) -> jnp.ndarray:
     h = jnp.arange(H, dtype=jnp.int32)[:, None]
     out = []
     for w in range(pad, pad + config.width):
-        occ = ((state.rows[:H] >> jnp.uint32(w)) & 1) != 0  # [H, B]
+        occ = _col_bits(state.rows[:H], w, config)  # [H, B]
         top = jnp.min(jnp.where(occ, h, jnp.int32(H)), axis=0)
         out.append(jnp.int32(H) - top)
     return jnp.stack(out)  # [W, B]
@@ -642,10 +758,13 @@ def from_flagship(es, config: EngineConfig) -> TurboState:
 
     The id board is reduced to occupancy (ids are not represented in turbo).
     """
-    pack = jax.vmap(bb.pack_board)  # [B, H]
+    if config.padded_width <= 32:
+        rows = jax.vmap(bb.pack_board)(es.board).T  # [B, H] -> [H, B]
+    else:
+        rows = jnp.transpose(jax.vmap(bw.pack_board)(es.board), (1, 2, 0))  # [H, NW, B]
     return TurboState(
         key=es.key.T,
-        rows=pack(es.board).T,
+        rows=rows,
         piece=es.piece,
         rotation=es.rotation,
         x=es.x,

@@ -38,6 +38,7 @@ from tetris_gymnasium_tpu.config import ActionsMapping, EngineConfig, RewardsMap
 from tetris_gymnasium_tpu.core import turbo
 from tetris_gymnasium_tpu.core.turbo import TurboState
 from tetris_gymnasium_tpu.ops import bitboard as bb
+from tetris_gymnasium_tpu.ops import bitboard_wide as bw
 from tetris_gymnasium_tpu.pieces import PIECES, PieceSet
 from tetris_gymnasium_tpu.utils.tree import select_tree
 
@@ -54,8 +55,11 @@ class TurboGroupedState:
 
 
 def _bed_rows(config: EngineConfig) -> np.ndarray:
-    """Static bedrock-only rows ``uint32[H]`` (an empty board IS the frame)."""
-    return bb.empty_rows(config.height, config.width, config.padding)
+    """Static bedrock-only rows (an empty board IS the frame):
+    ``uint32[H]`` single-word, ``uint32[H, NW]`` for wide boards."""
+    if config.padded_width <= 32:
+        return bb.empty_rows(config.height, config.width, config.padding)
+    return bw.empty_rows(config.height, config.width, config.padding)
 
 
 def _features_from_rows(rows: jnp.ndarray, config: EngineConfig) -> jnp.ndarray:
@@ -66,11 +70,12 @@ def _features_from_rows(rows: jnp.ndarray, config: EngineConfig) -> jnp.ndarray:
     (ref: wrappers/observation.py:177-236).
     """
     H, pad, W = config.height, config.padding, config.width
-    h = turbo._h_iota(H, rows.ndim)
+    inner = rows[:H]
+    h = turbo._h_iota(H, inner.ndim - (0 if config.padded_width <= 32 else 1))
     heights = []
     hole_counts = []
     for w in range(pad, pad + W):
-        col = ((rows[:H] >> jnp.uint32(w)) & 1) != 0  # [H, *batch]
+        col = turbo._col_bits(inner, w, config)  # [H, *batch]
         top = jnp.min(jnp.where(col, h, jnp.int32(H)), axis=0)
         height_w = jnp.int32(H) - top
         count_w = jnp.sum(col.astype(jnp.int32), axis=0)
@@ -109,32 +114,43 @@ def _candidate_rows(
     S = t.size
     H = config.padded_height
     pw = config.padded_width
-    B = state.rows.shape[1]
+    B = state.rows.shape[-1]  # env axis is minor (wide rows carry [H, NW, B])
     A = config.width * 4
 
     rot, x = _candidate_geometry(t, config, state.piece, state.rotation)
     piece_ab = jnp.broadcast_to(state.piece[None, :], (A, B))
     rb = turbo._row_bits(t, piece_ab, rot)  # [S, A, B]
-    sp = turbo._shift(rb, x, pw)  # [S, A, B]
+    sp = turbo._shift(rb, x, pw)  # [S, A, B] (wide: [S, NW, A, B])
 
-    rows_ab = jnp.broadcast_to(state.rows[:, None, :], (H, A, B))
-    hm = turbo._hit_map(rows_ab, sp)  # stack+frame hits [H, A, B]
+    if pw <= 32:
+        rows_ab = jnp.broadcast_to(state.rows[:, None, :], (H, A, B))
+        bed = jnp.broadcast_to(jnp.asarray(_bed_rows(config))[:, None, None], (H, A, B))
+    else:
+        nw = state.rows.shape[1]
+        rows_ab = jnp.broadcast_to(state.rows[:, :, None, :], (H, nw, A, B))
+        bed = jnp.broadcast_to(
+            jnp.asarray(_bed_rows(config))[:, :, None, None], (H, nw, A, B)
+        )
+    hm = turbo._hit_map_r(rows_ab, sp, pw)  # stack+frame hits [H, A, B]
     y = turbo._drop_from_map(hm, jnp.zeros_like(x), S)  # resting y from top
 
-    bed = jnp.asarray(_bed_rows(config))[:, None, None]  # [H, 1, 1]
-    hm_bed = turbo._hit_map(jnp.broadcast_to(bed, (H, A, B)), sp)
+    hm_bed = turbo._hit_map_r(bed, sp, pw)
     frame_hit = turbo._collision_at(hm_bed, y, S)  # [A, B]
     rest_hit = turbo._collision_at(hm, y, S)
     stack_hit = rest_hit & ~frame_hit
 
     stamped = turbo._project(rows_ab, sp, y, S)
     cleared, lines = turbo._clear_lines(stamped, config, max_clear=max_clear)
+    # Always-on envelope safety (see turbo._envelope_debug): a surgically
+    # built board with > max_clear simultaneously-full rows makes the
+    # candidate a game-over placement instead of a mis-compacted board.
+    stack_hit = stack_hit | (lines > max_clear)
     lines = jnp.where(frame_hit | stack_hit, 0, lines)
     return cleared, frame_hit, stack_hit, lines
 
 
 def placements(
-    state: TurboState, config: EngineConfig, pieces: PieceSet = PIECES
+    state: TurboState, config: EngineConfig, pieces: PieceSet = PIECES, max_clear: int = 4
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Evaluate all candidates: -> (features [F, A, B], mask [A, B],
     game_over [A, B], lines [A, B]).
@@ -142,7 +158,9 @@ def placements(
     Sentinel features are those of the all-ones / all-zeros boards
     (ref: grouped.py:164-177 applied through the feature wrapper).
     """
-    cleared, frame_hit, stack_hit, lines = _candidate_rows(state, config, pieces)
+    cleared, frame_hit, stack_hit, lines = _candidate_rows(
+        state, config, pieces, max_clear=max_clear
+    )
 
     feats = _features_from_rows(cleared, config)  # [F, A, B]
     W = config.width
@@ -157,7 +175,7 @@ def placements(
 
 
 def placement_boards(
-    state: TurboState, config: EngineConfig, pieces: PieceSet = PIECES
+    state: TurboState, config: EngineConfig, pieces: PieceSet = PIECES, max_clear: int = 4
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Evaluate all candidates as BINARY playfield boards.
 
@@ -174,7 +192,9 @@ def placement_boards(
     profiling of round 3 put into ``turbo.observe_board``
     (docs/scale/training_perf.md).
     """
-    cleared, frame_hit, stack_hit, lines = _candidate_rows(state, config, pieces)
+    cleared, frame_hit, stack_hit, lines = _candidate_rows(
+        state, config, pieces, max_clear=max_clear
+    )
 
     boards = turbo.unpack_playfield(cleared, config, jnp.float32)  # [B, A, H, W]
     fh = jnp.transpose(frame_hit)[:, :, None, None]  # [B, A, 1, 1]
@@ -191,6 +211,7 @@ def observation(
     config: EngineConfig,
     pieces: PieceSet = PIECES,
     mode: str = "features",
+    max_clear: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(observation, mask ``float32[A, B]``) for the current state.
 
@@ -201,10 +222,10 @@ def observation(
     engine's internal use — callers wanting ``[B, A]`` transpose it.
     """
     if mode == "features":
-        feats, mask, _, _ = placements(state, config, pieces)
+        feats, mask, _, _ = placements(state, config, pieces, max_clear=max_clear)
         return jnp.transpose(feats, (2, 1, 0)), mask
     if mode == "boards":
-        boards, mask, _, _ = placement_boards(state, config, pieces)
+        boards, mask, _, _ = placement_boards(state, config, pieces, max_clear=max_clear)
         return boards, mask  # already [B, A, H, W]
     raise ValueError(f"unknown turbo grouped observation mode: {mode}")
 
@@ -214,10 +235,11 @@ def reset(
     config: EngineConfig,
     pieces: PieceSet = PIECES,
     mode: str = "features",
+    max_clear: int = 4,
 ) -> Tuple[TurboGroupedState, jnp.ndarray]:
     """Fresh grouped batch from per-env keys ``[B, 2]``: -> (state, obs)."""
     env = turbo.init(keys, config, pieces)
-    obs, mask = observation(env, config, pieces, mode)
+    obs, mask = observation(env, config, pieces, mode, max_clear=max_clear)
     return TurboGroupedState(env=env, mask=mask), obs
 
 
@@ -229,6 +251,7 @@ def step(
     rewards: RewardsMapping = REWARDS,
     mode: str = "features",
     terminate_on_illegal: bool = True,
+    max_clear: int = 4,
 ) -> Tuple[TurboGroupedState, jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """One placement action per env, ``action`` is ``int32[B]``.
 
@@ -253,7 +276,7 @@ def step(
     teleported = env.replace(x=x, rotation=rot)
     drop_a = jnp.full_like(action, ACTIONS.hard_drop)
     dropped, _, drop_reward, drop_done, drop_info = turbo.step(
-        teleported, drop_a, config, pieces, rewards
+        teleported, drop_a, config, pieces, rewards, max_clear=max_clear
     )
 
     if terminate_on_illegal:
@@ -277,7 +300,7 @@ def step(
     reward = jnp.where(illegal, jnp.float32(rewards.invalid_action), drop_reward)
     lines = jnp.where(illegal, ill_lines, drop_info["lines_cleared"])
 
-    obs, mask = observation(new_env, config, pieces, mode)
+    obs, mask = observation(new_env, config, pieces, mode, max_clear=max_clear)
     if terminate_on_illegal:
         high = jnp.float32(config.height * config.width)
         ill_b = illegal.reshape((-1,) + (1,) * (obs.ndim - 1))  # [B, 1, ...]
@@ -290,17 +313,26 @@ def step(
 
 @functools.lru_cache(maxsize=None)
 def jit_step(
-    config: EngineConfig, terminate_on_illegal: bool = True, mode: str = "features"
+    config: EngineConfig,
+    terminate_on_illegal: bool = True,
+    mode: str = "features",
+    max_clear: int = 4,
 ):
     """Cached jitted batched grouped step for the default piece set."""
     return jax.jit(
         functools.partial(
-            step, config=config, mode=mode, terminate_on_illegal=terminate_on_illegal
+            step,
+            config=config,
+            mode=mode,
+            terminate_on_illegal=terminate_on_illegal,
+            max_clear=max_clear,
         )
     )
 
 
 @functools.lru_cache(maxsize=None)
-def jit_reset(config: EngineConfig, mode: str = "features"):
+def jit_reset(config: EngineConfig, mode: str = "features", max_clear: int = 4):
     """Cached jitted batched grouped reset for the default piece set."""
-    return jax.jit(functools.partial(reset, config=config, mode=mode))
+    return jax.jit(
+        functools.partial(reset, config=config, mode=mode, max_clear=max_clear)
+    )

@@ -13,8 +13,10 @@ itself is bit-exact with the reference functional core,
 ref: tetris_gymnasium/functional/core.py), including ``lax.dynamic_slice``
 start-clamping — asserted exhaustively in ``tests/test_bitboard.py``.
 
-Requires ``padded_width <= 32``; the flagship engine asserts this (wider
-boards are served by the einsum kernels / compat engine).
+Requires ``padded_width <= 32``; the engines select
+:mod:`tetris_gymnasium_tpu.ops.bitboard_wide` (same API, multi-word rows
+``uint32[H, NW]``) at trace time for wider geometries, keeping this module
+— the headline hot path — untouched.
 """
 from __future__ import annotations
 
