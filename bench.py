@@ -147,6 +147,47 @@ def bench_actor_feed(config: EngineConfig, n_envs: int, horizon: int, repeats: i
     return n_envs * horizon * repeats / elapsed
 
 
+def bench_rgb_actor(config: EngineConfig, n_envs: int, horizon: int, repeats: int):
+    """RGB/composite observation at training scale: vmapped Dict observation
+    + fused RGB compositing (``engine.render_rgb`` = observe_dict +
+    compose_rgb) each step of a flagship rollout.  This is the batched
+    analog of the reference's per-env host-side RgbObservation pipeline
+    (ref: wrappers/observation.py:38-74, examples/train_cnn.py:127-135);
+    the full image is reduced into the carry so no frame can be dead-coded.
+    """
+    from tetris_gymnasium_tpu.core import engine
+
+    keys = batch_keys(jax.random.PRNGKey(6), n_envs)
+    states, _ = engine.batched_reset(keys, config=config, obs="board")
+
+    def rollout(states, key):
+        def one(carry, _):
+            s, k, acc = carry
+            rgb = jax.vmap(functools.partial(engine.render_rgb, config=config))(s)
+            k, a = orng.randint(k, 8)
+            s2, _, r, d, _ = jax.vmap(
+                functools.partial(engine.step, config=config, obs_fn=lambda *_: ())
+            )(s, a)
+            acc = acc + jnp.sum(rgb.astype(jnp.uint32)) + jnp.sum(d).astype(jnp.uint32)
+            return (s2, k, acc), None
+
+        (final, _, acc), _ = jax.lax.scan(
+            one, (states, key, jnp.uint32(0)), None, length=horizon
+        )
+        return final, acc
+
+    rollout = jax.jit(rollout, donate_argnums=(0,))
+    states, acc = rollout(states, _action_key(n_envs, 17))
+    int(acc)
+
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        states, acc = rollout(states, _action_key(n_envs, 1800 + i))
+    int(acc)  # fence INSIDE the timed window (dispatch is async)
+    elapsed = time.perf_counter() - t0
+    return n_envs * horizon * repeats / elapsed
+
+
 def bench_grouped(n_envs: int, horizon: int, repeats: int, mode: str = "features"):
     """Config 4: grouped placement enumeration/step, masked-random actions.
 
@@ -300,6 +341,10 @@ def main():
             (
                 "actor_steps_per_sec",
                 lambda: bench_actor_feed(config, 8192, 64, max(repeats // 2, 1)),
+            ),
+            (
+                "rgb_actor_steps_per_sec",
+                lambda: bench_rgb_actor(config, 8192, 32, max(repeats // 2, 1)),
             ),
             (
                 "grouped_placements_per_sec",

@@ -36,6 +36,14 @@ def main():
         default="turbo",
         help="rollout engine: turbo (bit-packed batch-minor, fastest) or flagship",
     )
+    p.add_argument(
+        "--frame-stack",
+        type=int,
+        default=1,
+        help="K: feed the net a [B, K, H, W] motion window (the reference "
+        "workload's FrameStack(4), ref: train_cnn.py:127-147; replay still "
+        "stores single frames — stacks rebuild at sample time)",
+    )
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     p.add_argument(
         "--save-params",
@@ -50,6 +58,7 @@ def main():
     cfg = dqn.DQNConfig(
         exploration_steps=args.exploration_steps,
         learning_starts=args.learning_starts,
+        frame_stack=args.frame_stack,
     )
     net = QNetworkCNN()
 

@@ -145,3 +145,34 @@ def test_feature_space_contains_values_and_check_env():
     assert w.observation_space.contains(obs)
     check_env(w, skip_render_check=True)
     env.close()
+
+
+def test_batched_rgb_equals_wrapper():
+    """The vmapped RGB pipeline (the rgb_actor bench path) produces exactly
+    the per-env RgbObservation wrapper's composite, pinned over a played
+    trajectory — so the batched training observation IS the wrapper obs."""
+    import jax
+
+    from tetris_gymnasium_tpu.core import engine
+
+    env = gym.make("tetris_gymnasium_tpu/Tetris")
+    wrapped = RgbObservation(env)
+    obs, _ = wrapped.reset(seed=4)
+
+    cfg = env.unwrapped.config
+    states, wrapper_frames = [], [obs]
+    rng = np.random.default_rng(4)
+    states.append(env.unwrapped.state)
+    for _ in range(24):
+        obs, _, term, _, _ = wrapped.step(int(rng.integers(0, 8)))
+        wrapper_frames.append(obs)
+        states.append(env.unwrapped.state)
+        if term:
+            break
+
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    rgb = jax.jit(jax.vmap(lambda s: engine.render_rgb(s, cfg)))(batched)
+    for i, frame in enumerate(wrapper_frames):
+        np.testing.assert_array_equal(
+            np.asarray(rgb[i]), frame, err_msg=f"frame {i}"
+        )

@@ -27,6 +27,9 @@ class BoardEncoder(nn.Module):
 
     Channel plan (32 -> 64 -> 128) mirrors the reference Atari trunk's
     capacity (ref: train_cnn.py:153-160) at the native 20x10 resolution.
+    A stacked input ``[B, K, H, W]`` (:mod:`ops.framestack`, oldest-first)
+    feeds the K frames as conv input channels — the reference workload's
+    FrameStack(4)-as-channels recipe (ref: train_cnn.py:127-168).
     """
 
     features: Sequence[int] = (32, 64, 128)
@@ -34,7 +37,10 @@ class BoardEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, boards: jnp.ndarray) -> jnp.ndarray:
-        x = boards.astype(self.dtype)[..., None]  # [B, H, W, 1]
+        if boards.ndim == 4:  # [B, K, H, W] frame stack -> channels-last
+            x = jnp.moveaxis(boards.astype(self.dtype), 1, -1)
+        else:
+            x = boards.astype(self.dtype)[..., None]  # [B, H, W, 1]
         for i, feat in enumerate(self.features):
             stride = (2, 1) if i == 0 else (2, 2)
             x = nn.Conv(feat, kernel_size=(3, 3), strides=stride, dtype=self.dtype)(x)

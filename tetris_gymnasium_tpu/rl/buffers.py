@@ -106,3 +106,66 @@ def sample_with_next(
         jax.tree.map(lambda x: x[idx], buffer.data),
         jax.tree.map(lambda x: x[nxt], buffer.data),
     )
+
+
+def sample_with_next_stacked(
+    buffer: ReplayBuffer,
+    key: jnp.ndarray,
+    batch_size: int,
+    batch: int,
+    k: int,
+    obs_key: str = "obs",
+    done_key: str = "done",
+) -> Any:
+    """:func:`sample_with_next` whose observations come back as K-frame
+    stacks ``[batch_size, K, ...]`` — reconstructed, not stored.
+
+    The circular block layout makes the same env's previous frame available
+    ``batch`` entries earlier, so a transition's online frame stack
+    (:mod:`tetris_gymnasium_tpu.ops.framestack` semantics: oldest-first,
+    fresh episodes repeat their first frame) is rebuilt at gather time from
+    single stored frames.  Replay holds each frame ONCE; the reference's
+    SB3 buffer stores every frame ~2K times (K per stack, stacks duplicated
+    across obs/next_obs, ref: examples/train_cnn.py:266-272).
+
+    Episode boundaries: for an anchor entry at step ``t``, the lookback
+    frame ``obs[t-j]`` belongs to the current episode iff no ``done`` fired
+    in transitions ``t-j .. t-1``; deeper slots clamp to the episode's
+    first frame (exactly Gymnasium FrameStack's repeat-on-reset).  Sampling
+    excludes the oldest ``k-1`` blocks so the full lookback window is
+    resident — callers must not sample before ``k+1`` blocks are in the
+    buffer (DQN gates on ``step >= max(learning_starts, k)``).
+    """
+    capacity = jax.tree.leaves(buffer.data)[0].shape[0]
+    if capacity < (k + 1) * batch:
+        raise ValueError(
+            f"sample_with_next_stacked needs capacity >= (k+1)*batch "
+            f"(got {capacity} < {(k + 1) * batch})"
+        )
+    full = buffer.size == capacity
+    start = jnp.where(full, buffer.pos, 0)
+    n_valid = jnp.maximum(buffer.size - k * batch, 1)
+    off = (k - 1) * batch + jax.random.randint(key, (batch_size,), 0, n_valid)
+    idx = jnp.mod(start + off, capacity)
+    nxt = jnp.mod(idx + batch, capacity)
+
+    obs_store = buffer.data[obs_key]
+    done_store = buffer.data[done_key]
+
+    def stack_at(anchor: jnp.ndarray) -> jnp.ndarray:
+        """Online-exact stack for the obs stored AT ``anchor`` entries."""
+        js = jnp.arange(k, dtype=jnp.int32)  # lookback depth, newest first
+        # d[:, j-1] = done of transition (t-j -> t-j+1); a set flag means
+        # every deeper frame belongs to a previous episode
+        d_idx = jnp.mod(anchor[:, None] - js[None, 1:] * batch, capacity)
+        boundary = jnp.cumsum(done_store[d_idx].astype(jnp.int32), axis=1) > 0
+        m = jnp.sum(~boundary, axis=1)  # valid lookback depth per sample
+        jeff = jnp.minimum(js[None, :], m[:, None])  # clamp to episode start
+        frames = obs_store[jnp.mod(anchor[:, None] - jeff * batch, capacity)]
+        return frames[:, ::-1]  # newest-first -> oldest-first (framestack order)
+
+    cur = jax.tree.map(lambda x: x[idx], buffer.data)
+    nxt_t = jax.tree.map(lambda x: x[nxt], buffer.data)
+    cur = {**cur, obs_key: stack_at(idx)}
+    nxt_t = {**nxt_t, obs_key: stack_at(nxt)}
+    return cur, nxt_t

@@ -20,6 +20,7 @@ from flax import struct
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.core import engine
 from tetris_gymnasium_tpu.models.networks import QNetworkCNN
+from tetris_gymnasium_tpu.ops import framestack
 from tetris_gymnasium_tpu.rl import buffers
 from tetris_gymnasium_tpu.rl.engines import env_fns as _env_fns
 
@@ -37,6 +38,7 @@ class DQNConfig(NamedTuple):
     learning_starts: int = 1_000  # env steps before updates begin
     target_update_every: int = 500  # learner steps between target syncs
     n_actions: int = 8
+    frame_stack: int = 1  # K: policy sees a [B, K, H, W] motion window
 
 
 @struct.dataclass
@@ -48,7 +50,8 @@ class DQNState:
     opt_state: Any
     buffer: buffers.ReplayBuffer
     env_states: engine.EngineState
-    obs: jnp.ndarray  # int8 [B, H, W]
+    obs: jnp.ndarray  # int8 [B, H, W]; with frame_stack K>1: the online
+    #   rolling window [B, K, H, W] (ops.framestack, oldest-first)
     step: jnp.ndarray  # int32 global env-step counter (per-batch steps)
     key: jnp.ndarray
 
@@ -74,12 +77,15 @@ def init_dqn_state(
         jnp.arange(n_envs, dtype=jnp.uint32)
     )
     env_states = env_init(env_keys)
-    obs = env_observe(env_states)
+    raw_obs = env_observe(env_states)
+    # the replay example stores SINGLE frames even when the policy consumes
+    # stacks (reconstructed at sample time, buffers.sample_with_next_stacked)
+    obs = raw_obs if cfg.frame_stack == 1 else framestack.init(raw_obs, cfg.frame_stack)
     params = net.init(net_key, obs[:1])
     opt_state = optax.adam(cfg.learning_rate).init(params)
 
     example = {
-        "obs": obs,
+        "obs": raw_obs,
         "action": jnp.zeros((n_envs,), jnp.int32),
         "reward": jnp.zeros((n_envs,), jnp.float32),
         "done": jnp.zeros((n_envs,), jnp.bool_),
@@ -134,35 +140,48 @@ def make_train_step(
         action = jnp.where(explore, random_a, greedy)
 
         # -- env step + replay add -------------------------------------------
-        # Each observation is stored ONCE: the successor entry (same env,
-        # next step) provides next_obs at sample time — half the replay
-        # memory/bandwidth of the reference's SB3 layout, which duplicates
-        # next_obs per transition (ref: train_cnn.py:266-272, 317).
+        # Each observation is stored ONCE (single frames even under frame
+        # stacking): the successor entry (same env, next step) provides
+        # next_obs at sample time and stacks are reconstructed on gather —
+        # half (K=1) to ~2K-times (K frames) less replay memory/bandwidth
+        # than the reference's SB3 layout, which duplicates whole stacks in
+        # obs AND next_obs per transition (ref: train_cnn.py:266-272, 317).
         env_states, _, reward, done, _ = env_step_b(ts.env_states, action)
-        next_obs = observe_b(env_states)
+        raw_next = observe_b(env_states)
+        stored_obs = ts.obs if cfg.frame_stack == 1 else ts.obs[:, -1]
         buffer = buffers.add(
             ts.buffer,
             {
-                "obs": ts.obs,
+                "obs": stored_obs,
                 "action": action,
                 "reward": reward,
                 "done": done,
             },
         )
+        next_obs = (
+            raw_next
+            if cfg.frame_stack == 1
+            else framestack.push(ts.obs, raw_next, done)
+        )
 
         # -- learner update (ref: train_cnn.py:323-359) ------------------------
         # Gated with lax.cond, not masked arithmetic: before learning_starts
         # the warm-up branch skips the forward+backward entirely instead of
-        # computing and discarding it (round-1 VERDICT weak #4).  The step>=1
-        # floor guarantees two replay blocks are resident so single-copy
-        # successor links are valid (buffers.sample_with_next).
-        learn = (ts.step >= cfg.learning_starts) & (ts.step >= 1)
+        # computing and discarding it (round-1 VERDICT weak #4).  The floor
+        # guarantees enough replay blocks are resident for the single-copy
+        # successor (and K-frame lookback) links to be valid.
+        learn = (ts.step >= cfg.learning_starts) & (ts.step >= cfg.frame_stack)
 
         def do_update(operand):
             params, target_params, opt_state, buffer, sample_key = operand
-            batch, next_batch = buffers.sample_with_next(
-                buffer, sample_key, cfg.batch_size, n
-            )
+            if cfg.frame_stack == 1:
+                batch, next_batch = buffers.sample_with_next(
+                    buffer, sample_key, cfg.batch_size, n
+                )
+            else:
+                batch, next_batch = buffers.sample_with_next_stacked(
+                    buffer, sample_key, cfg.batch_size, n, cfg.frame_stack
+                )
             loss, grads = jax.value_and_grad(td_loss)(
                 params, target_params, batch, next_batch
             )
