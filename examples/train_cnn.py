@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.models.networks import QNetworkCNN
-from tetris_gymnasium_tpu.rl import dqn
+from tetris_gymnasium_tpu.rl import dqn, evaluate
 
 
 def main():
@@ -44,6 +44,15 @@ def main():
         "workload's FrameStack(4), ref: train_cnn.py:127-147; replay still "
         "stores single frames — stacks rebuild at sample time)",
     )
+    p.add_argument(
+        "--eval-every",
+        type=int,
+        default=0,
+        help="batched steps between greedy policy evals (0 = off); episodic "
+        "return/length/lines land in the JSONL (ref analog: the reference "
+        "DQN eval loop, train_cnn.py:29-66)",
+    )
+    p.add_argument("--eval-episodes", type=int, default=256)
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     p.add_argument(
         "--save-params",
@@ -95,6 +104,18 @@ def main():
         os.makedirs(os.path.dirname(args.log_json) or ".", exist_ok=True)
         log_f = open(args.log_json, "a")
 
+    def run_eval(params, seed):
+        ev = evaluate.evaluate_q_checkpoint(
+            net, params, args.eval_episodes, env_config,
+            seed=seed, impl=args.impl, frame_stack=args.frame_stack,
+        )
+        return {
+            "eval_return": round(ev["return_mean"], 3),
+            "eval_length": round(ev["length_mean"], 2),
+            "eval_lines": round(ev["lines_mean"], 4),
+            "eval_episodes": int(ev["episodes_completed"]),
+        }
+
     t0 = time.perf_counter()
     for it in range(args.steps // args.chunk):
         ts, m = train_chunk(ts)
@@ -111,6 +132,8 @@ def main():
             "loss": round(float(m["loss"]), 5),
             "epsilon": round(float(m["epsilon"]), 4),
         }
+        if args.eval_every and step % args.eval_every == 0:
+            rec.update(run_eval(ts.params, seed=args.seed + it))
         print(json.dumps(rec), flush=True)
         if log_f:
             log_f.write(json.dumps(rec) + "\n")

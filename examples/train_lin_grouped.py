@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.models.networks import QMLP
-from tetris_gymnasium_tpu.rl import grouped_dqn
+from tetris_gymnasium_tpu.rl import evaluate, grouped_dqn
 
 
 def main():
@@ -32,6 +32,13 @@ def main():
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--exploration-steps", type=int, default=5_000)
     p.add_argument("--learning-starts", type=int, default=500)
+    p.add_argument(
+        "--eval-every",
+        type=int,
+        default=0,
+        help="batched steps between greedy policy evals (0 = off)",
+    )
+    p.add_argument("--eval-episodes", type=int, default=256)
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     args = p.parse_args()
 
@@ -68,6 +75,15 @@ def main():
         os.makedirs(os.path.dirname(args.log_json) or ".", exist_ok=True)
         log_f = open(args.log_json, "a")
 
+    eval_fn = jax.jit(
+        lambda params, key: evaluate.evaluate_grouped(
+            evaluate.greedy_masked_q(net, params),
+            args.eval_episodes,
+            env_config,
+            key,
+        )
+    )
+
     t0 = time.perf_counter()
     for it in range(args.steps // args.chunk):
         ts, m = train_chunk(ts)
@@ -83,6 +99,14 @@ def main():
             "loss": round(float(m["loss"]), 5),
             "epsilon": round(float(m["epsilon"]), 4),
         }
+        if args.eval_every and step % args.eval_every == 0:
+            ev = jax.device_get(eval_fn(ts.params, jax.random.PRNGKey(2000 + it)))
+            rec.update(
+                eval_return=round(float(ev["return_mean"]), 3),
+                eval_length=round(float(ev["length_mean"]), 2),
+                eval_lines=round(float(ev["lines_mean"]), 4),
+                eval_episodes=int(ev["episodes_completed"]),
+            )
         print(json.dumps(rec), flush=True)
         if log_f:
             log_f.write(json.dumps(rec) + "\n")

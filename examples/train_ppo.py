@@ -18,7 +18,7 @@ import time
 import jax
 
 from tetris_gymnasium_tpu.config import EngineConfig
-from tetris_gymnasium_tpu.rl import ppo
+from tetris_gymnasium_tpu.rl import evaluate, ppo
 from tetris_gymnasium_tpu.models.networks import ActorCriticCNN
 
 
@@ -35,6 +35,13 @@ def main():
         default="turbo",
         help="rollout engine: turbo (bit-packed batch-minor, fastest) or flagship",
     )
+    p.add_argument(
+        "--eval-every",
+        type=int,
+        default=0,
+        help="iterations between greedy policy evals (0 = off)",
+    )
+    p.add_argument("--eval-episodes", type=int, default=256)
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     args = p.parse_args()
 
@@ -64,6 +71,17 @@ def main():
         os.makedirs(os.path.dirname(args.log_json) or ".", exist_ok=True)
         log_f = open(args.log_json, "a")
 
+    eval_fn = jax.jit(
+        lambda params, key: evaluate.evaluate_policy(
+            evaluate.greedy_logits(net, params),
+            args.eval_episodes,
+            env_config,
+            key,
+            impl=args.impl,
+            max_steps=1000,
+        )
+    )
+
     steps_per_iter = args.n_envs * ppo_cfg.rollout_len
     t0 = time.perf_counter()
     for it in range(1, args.iterations + 1):
@@ -81,6 +99,14 @@ def main():
                 "v_loss": round(float(m["v_loss"]), 5),
                 "entropy": round(float(m["entropy"]), 4),
             }
+            if args.eval_every and it % args.eval_every == 0:
+                ev = jax.device_get(eval_fn(ts.params, jax.random.PRNGKey(1000 + it)))
+                rec.update(
+                    eval_return=round(float(ev["return_mean"]), 3),
+                    eval_length=round(float(ev["length_mean"]), 2),
+                    eval_lines=round(float(ev["lines_mean"]), 4),
+                    eval_episodes=int(ev["episodes_completed"]),
+                )
             print(json.dumps(rec), flush=True)
             if log_f:
                 log_f.write(json.dumps(rec) + "\n")
