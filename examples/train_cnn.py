@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.models.networks import QNetworkCNN
 from tetris_gymnasium_tpu.rl import dqn, evaluate
+from tetris_gymnasium_tpu.utils.tracking import Tracker
 
 
 def main():
@@ -53,6 +54,16 @@ def main():
         "DQN eval loop, train_cnn.py:29-66)",
     )
     p.add_argument("--eval-episodes", type=int, default=256)
+    p.add_argument("--wandb", action="store_true", help="mirror the JSONL records to Weights & Biases (no-op if wandb is not installed)")
+    p.add_argument("--wandb-project", type=str, default="tetris-gymnasium-tpu")
+    p.add_argument("--run-name", type=str, default=None)
+    p.add_argument(
+        "--video-every",
+        type=int,
+        default=0,
+        help="batched steps between greedy-episode GIF captures (0 = off; "
+        "ref analog: RecordVideo during training, train_cnn.py:130-135)",
+    )
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     p.add_argument(
         "--save-params",
@@ -103,6 +114,18 @@ def main():
     if args.log_json:
         os.makedirs(os.path.dirname(args.log_json) or ".", exist_ok=True)
         log_f = open(args.log_json, "a")
+    tracker = Tracker(args.wandb, args.wandb_project, args.run_name, vars(args))
+
+    def capture_video(step_i):
+        from tetris_gymnasium_tpu.utils import video
+
+        base = os.path.splitext(args.log_json)[0] if args.log_json else "results/dqn"
+        path = video.record_training_video(
+            net, ts.params, f"{base}_ep{step_i}.gif", env_config,
+            frame_stack=args.frame_stack, seed=args.seed + step_i,
+        )
+        print(f"recorded greedy episode -> {path}", flush=True)
+        tracker.log_video(path, step_i)
 
     def run_eval(params, seed):
         ev = evaluate.evaluate_q_checkpoint(
@@ -135,11 +158,15 @@ def main():
         if args.eval_every and step % args.eval_every == 0:
             rec.update(run_eval(ts.params, seed=args.seed + it))
         print(json.dumps(rec), flush=True)
+        tracker.log(rec, step)
+        if args.video_every and step % args.video_every == 0:
+            capture_video(step)
         if log_f:
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
     if log_f:
         log_f.close()
+    tracker.finish()
     if args.save_params:
         from tetris_gymnasium_tpu.utils import checkpoint
 

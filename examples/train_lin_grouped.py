@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.models.networks import QMLP
 from tetris_gymnasium_tpu.rl import evaluate, grouped_dqn
+from tetris_gymnasium_tpu.utils.tracking import Tracker
 
 
 def main():
@@ -39,6 +40,9 @@ def main():
         help="batched steps between greedy policy evals (0 = off)",
     )
     p.add_argument("--eval-episodes", type=int, default=256)
+    p.add_argument("--wandb", action="store_true", help="mirror the JSONL records to Weights & Biases (no-op if wandb is not installed)")
+    p.add_argument("--wandb-project", type=str, default="tetris-gymnasium-tpu")
+    p.add_argument("--run-name", type=str, default=None)
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     args = p.parse_args()
 
@@ -74,6 +78,7 @@ def main():
     if args.log_json:
         os.makedirs(os.path.dirname(args.log_json) or ".", exist_ok=True)
         log_f = open(args.log_json, "a")
+    tracker = Tracker(args.wandb, args.wandb_project, args.run_name, vars(args))
 
     eval_fn = jax.jit(
         lambda params, key: evaluate.evaluate_grouped(
@@ -108,11 +113,13 @@ def main():
                 eval_episodes=int(ev["episodes_completed"]),
             )
         print(json.dumps(rec), flush=True)
+        tracker.log(rec, step)
         if log_f:
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
     if log_f:
         log_f.close()
+    tracker.finish()
 
 
 if __name__ == "__main__":

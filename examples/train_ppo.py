@@ -19,6 +19,7 @@ import jax
 
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.rl import evaluate, ppo
+from tetris_gymnasium_tpu.utils.tracking import Tracker
 from tetris_gymnasium_tpu.models.networks import ActorCriticCNN
 
 
@@ -42,6 +43,15 @@ def main():
         help="iterations between greedy policy evals (0 = off)",
     )
     p.add_argument("--eval-episodes", type=int, default=256)
+    p.add_argument("--wandb", action="store_true", help="mirror the JSONL records to Weights & Biases (no-op if wandb is not installed)")
+    p.add_argument("--wandb-project", type=str, default="tetris-gymnasium-tpu")
+    p.add_argument("--run-name", type=str, default=None)
+    p.add_argument(
+        "--video-every",
+        type=int,
+        default=0,
+        help="iterations between greedy-episode GIF captures (0 = off)",
+    )
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     args = p.parse_args()
 
@@ -70,6 +80,7 @@ def main():
     if args.log_json:
         os.makedirs(os.path.dirname(args.log_json) or ".", exist_ok=True)
         log_f = open(args.log_json, "a")
+    tracker = Tracker(args.wandb, args.wandb_project, args.run_name, vars(args))
 
     eval_fn = jax.jit(
         lambda params, key: evaluate.evaluate_policy(
@@ -108,11 +119,22 @@ def main():
                     eval_episodes=int(ev["episodes_completed"]),
                 )
             print(json.dumps(rec), flush=True)
+            tracker.log(rec, it)
             if log_f:
                 log_f.write(json.dumps(rec) + "\n")
                 log_f.flush()
+        if args.video_every and it % args.video_every == 0:
+            from tetris_gymnasium_tpu.utils import video
+
+            base = os.path.splitext(args.log_json)[0] if args.log_json else "results/ppo"
+            path = video.record_training_video(
+                net, ts.params, f"{base}_it{it}.gif", env_config, seed=args.seed + it
+            )
+            print(f"recorded greedy episode -> {path}", flush=True)
+            tracker.log_video(path, it)
     if log_f:
         log_f.close()
+    tracker.finish()
 
 
 if __name__ == "__main__":

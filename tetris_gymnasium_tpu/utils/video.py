@@ -60,6 +60,64 @@ def record_episode(
     return np.stack(frames)
 
 
+def greedy_policy_fn(
+    net,
+    params,
+    frame_stack: int = 1,
+) -> Callable:
+    """A ``record_episode`` policy that plays a trained net greedily.
+
+    Supports actor-critics (``apply -> (logits, value)``) and Q-nets
+    (``apply -> q``).  With ``frame_stack > 1`` a host-side window feeds the
+    net the same ``[1, K, H, W]`` motion stack it trained on
+    (:mod:`tetris_gymnasium_tpu.ops.framestack` semantics — the deque starts
+    full of the first frame).
+    """
+    window: list = []
+
+    def scores(obs_batch):
+        out = net.apply(params, obs_batch)
+        return out[0] if isinstance(out, tuple) else out
+
+    def policy(obs, key):
+        if frame_stack > 1:
+            if not window:
+                window.extend([obs] * frame_stack)
+            else:
+                window.append(obs)
+                del window[0]
+            obs_in = jnp.stack(window)[None]  # [1, K, H, W]
+        else:
+            obs_in = obs[None]
+        return int(jnp.argmax(scores(obs_in), axis=-1)[0])
+
+    return policy
+
+
+def record_training_video(
+    net,
+    params,
+    path: str,
+    config: EngineConfig = EngineConfig(),
+    frame_stack: int = 1,
+    seed: int = 0,
+    max_steps: int = 400,
+) -> str:
+    """One greedy episode of the current policy -> GIF/MP4 at ``path``.
+
+    The periodic in-training capture the reference gets from ``RecordVideo``
+    (ref: examples/train_cnn.py:130-135), reusing the engine's fused RGB
+    renderer; returns the path actually written.
+    """
+    frames = record_episode(
+        greedy_policy_fn(net, params, frame_stack),
+        config=config,
+        seed=seed,
+        max_steps=max_steps,
+    )
+    return write_video(frames, path)
+
+
 def write_video(frames: np.ndarray, path: str, fps: int = 10) -> str:
     """Write frames to ``path`` (.gif always; .mp4 if ffmpeg is available).
 
