@@ -38,10 +38,13 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_ENVS = 64
 HORIZON = 16
 REPEATS = 2
-# total virtual devices in every cluster shape == the 8 devices of the
-# in-process reference mesh (tests/conftest.py), so "same program, different
-# process split" is the only variable.
-CLUSTER_SHAPES = [(2, 4), (4, 2)]  # (n_processes, local_devices_per_process)
+# The 2x4 / 4x2 shapes split the same 8 global devices as the in-process
+# reference mesh (tests/conftest.py); 4x4 forms a 16-device cluster — a
+# DIFFERENT mesh shape, which must still match bit-for-bit because
+# trajectories depend only on the global env index, never on placement
+# (parallel/mesh.py; the in-process 4-vs-8-device test pins the same
+# invariant without processes).
+CLUSTER_SHAPES = [(2, 4), (4, 2), (4, 4)]  # (n_processes, local_devices_per_process)
 
 
 def _free_port() -> int:
@@ -244,6 +247,60 @@ def test_multiprocess_ppo_training_matches_single_process(tmp_path):
     )
     np.testing.assert_allclose(got["pg_losses"], ref["pg_losses"], rtol=1e-4, atol=1e-6)
     assert results[1]["env_checksum"] == got["env_checksum"]
+
+
+def test_multiprocess_dqn_training_matches_single_process(tmp_path):
+    """Cross-process DQN with a REPLICATED replay buffer: 2 OS processes
+    must play the same trajectories AND accumulate bit-identical replay
+    contents as a single process — final env-state and replay-buffer
+    checksums bit-equal; losses equal to float tolerance (the learner
+    consumes replicated data, but partial-sum order inside XLA reductions
+    may differ across partitionings)."""
+    iters = 4
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs, outs = [], []
+    for i in range(2):
+        out = tmp_path / f"dqn{i}.json"
+        outs.append(out)
+        cmd = _worker_cmd(port, 2, i, 4, out)
+        cmd += ["--train", "dqn", "--train-iters", str(iters)]
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=REPO_ROOT, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    logs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=600)
+            logs.append(stdout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker exited {p.returncode}:\n{log[-4000:]}"
+    results = [json.loads(o.read_text()) for o in outs]
+
+    ref = launch.run_dqn(
+        pmesh.env_mesh(), EngineConfig(auto_reset=True), N_ENVS, iters
+    )
+    got = results[0]
+    assert got["n_devices"] == 8 and got["process_count"] == 2
+    assert got["env_checksum"] == ref["env_checksum"], (
+        "2-process DQN played different trajectories than single-process"
+    )
+    assert got["buffer_checksum"] == ref["buffer_checksum"], (
+        "replicated replay diverged across the process split"
+    )
+    np.testing.assert_allclose(got["losses"], ref["losses"], rtol=1e-4, atol=1e-6)
+    # both processes of the cluster observed identical replicated outputs
+    assert results[1]["env_checksum"] == got["env_checksum"]
+    assert results[1]["buffer_checksum"] == got["buffer_checksum"]
 
 
 def test_checksum_is_mesh_shape_invariant_in_process():

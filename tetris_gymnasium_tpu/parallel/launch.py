@@ -148,6 +148,72 @@ def run_ppo(
     }
 
 
+def run_dqn(
+    mesh,
+    config,
+    n_envs: int,
+    iterations: int,
+    impl: str = "flagship",
+) -> dict:
+    """Sharded DQN training on an existing (possibly multi-host) mesh.
+
+    Env batch sharded ``P("env")``, learner replicated, replay buffer
+    REPLICATED (see ``mesh.dqn_state_shardings`` for the rationale).  The op
+    sequence is fixed so a multi-process run is comparable with a
+    single-process run: tests/test_multihost.py pins final env-state AND
+    replay-buffer checksums bit-for-bit and losses to float tolerance.
+    """
+    import jax
+
+    from tetris_gymnasium_tpu.models.networks import QNetworkCNN
+    from tetris_gymnasium_tpu.parallel import mesh as pmesh
+    from tetris_gymnasium_tpu.rl import dqn as rl_dqn
+
+    cfg = rl_dqn.DQNConfig(
+        buffer_size=n_envs * 8,
+        batch_size=32,
+        learning_starts=2,
+        target_update_every=4,
+        exploration_steps=max(iterations, 1),
+    )
+    net = QNetworkCNN()
+
+    def init(k):
+        return rl_dqn.init_dqn_state(k, n_envs, config, cfg, net, impl=impl)
+
+    ts0 = jax.eval_shape(init, jax.random.PRNGKey(0))
+    shardings = pmesh.dqn_state_shardings(mesh, ts0, impl)
+    ts = jax.jit(init, out_shardings=shardings)(jax.random.PRNGKey(0))
+    train_step = jax.jit(
+        rl_dqn.make_train_step(config, cfg, net, impl=impl),
+        in_shardings=(shardings,),
+        out_shardings=(shardings, pmesh.replicated(mesh)),
+        donate_argnums=(0,),
+    )
+
+    ts, metrics = train_step(ts)  # warm-up/compile
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    losses = [float(metrics["loss"])]
+    for _ in range(iterations - 1):
+        ts, metrics = train_step(ts)
+        losses.append(float(metrics["loss"]))
+    dt = time.perf_counter() - t0
+    sps = n_envs * (iterations - 1) / dt if iterations > 1 else None
+
+    return {
+        "n_devices": len(jax.devices()),
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "train_steps_per_sec": sps,
+        "losses": losses,
+        "mean_q": float(metrics["mean_q"]),
+        "env_checksum": pmesh.state_checksum(ts.env_states, mesh),
+        "buffer_checksum": pmesh.state_checksum(ts.buffer, mesh),
+        "param_checksum": pmesh.state_checksum(ts.params, mesh),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-envs", type=int, default=65536, help="global env count")
@@ -171,9 +237,11 @@ def main():
     p.add_argument("--out", type=str, default=None, help="write metrics JSON here")
     p.add_argument(
         "--train",
-        choices=["none", "ppo"],
+        choices=["none", "ppo", "dqn"],
         default="none",
-        help="'ppo' runs sharded PPO training instead of the rollout bench",
+        help="run sharded training (ppo: replicated learner + XLA gradient "
+        "all-reduce; dqn: replicated learner + replicated replay) instead "
+        "of the rollout bench",
     )
     p.add_argument("--train-iters", type=int, default=3)
     args = p.parse_args()
@@ -244,6 +312,8 @@ def main():
 
     if args.train == "ppo":
         metrics = run_ppo(m, config, args.n_envs, args.train_iters)
+    elif args.train == "dqn":
+        metrics = run_dqn(m, config, args.n_envs, args.train_iters)
     else:
         metrics = run(m, config, args.n_envs, args.horizon, args.repeats)
 
@@ -251,7 +321,11 @@ def main():
         with open(args.out, "w") as f:
             json.dump(metrics, f)
     if jax.process_index() == 0:
-        if args.train == "ppo":
+        if args.train == "dqn":
+            sps = metrics["train_steps_per_sec"]
+            sps_txt = f"{sps:.3e}" if sps is not None else "n/a (1 iteration)"
+            print(f"{sps_txt} trained env-steps/s, loss {metrics['losses'][-1]:.5f}")
+        elif args.train == "ppo":
             sps = metrics["train_steps_per_sec"]
             sps_txt = f"{sps:.3e}" if sps is not None else "n/a (1 iteration)"
             print(

@@ -198,6 +198,38 @@ def train_state_shardings(mesh: Mesh, ts, impl: str = "flagship"):
     )
 
 
+def dqn_state_shardings(mesh: Mesh, ts, impl: str = "flagship"):
+    """Shardings for an ``rl.dqn.DQNState``: learner state replicated, env
+    batch sharded, **replay buffer replicated**.
+
+    Replicating the buffer is the deliberate choice for cross-host DQN:
+    per-step writes all-gather only the newest (tiny) transition block over
+    the mesh, every sampling gather then stays device-local, and — because
+    transitions and sampling keys are deterministic functions of replicated
+    inputs — the buffer contents are provably identical on every process
+    (``tests/test_multihost.py`` checksums them bit-for-bit).  A buffer
+    sharded along capacity would save HBM but turn every uniform sample
+    into a cross-host shuffle over DCN; env replay blocks are small enough
+    that replication is the right trade until buffers approach HBM size.
+    """
+    repl = replicated(mesh)
+    env = (
+        batch_minor_shardings(mesh, ts.env_states)
+        if impl == "turbo"
+        else jax.tree.map(lambda _: env_sharding(mesh), ts.env_states)
+    )
+    return type(ts)(
+        params=jax.tree.map(lambda _: repl, ts.params),
+        target_params=jax.tree.map(lambda _: repl, ts.target_params),
+        opt_state=jax.tree.map(lambda _: repl, ts.opt_state),
+        buffer=jax.tree.map(lambda _: repl, ts.buffer),
+        env_states=env,
+        obs=env_sharding(mesh),
+        step=repl,
+        key=repl,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _checksum_fn(mesh: Mesh):
     def checksum(leaves):
