@@ -55,6 +55,33 @@ def test_dqn_curve_beats_random():
     assert recs[-1]["epsilon"] < 0.1  # schedule actually annealed
 
 
+def test_dqn_frame_stack_curve_beats_random():
+    """K=4 frame-stacked CNN DQN (the reference workload's FrameStack(4)
+    recipe on device): same learning gates as the K=1 curve."""
+    recs = _load("dqn_k4.jsonl")
+    assert len(recs) >= 10
+    early_survival = min(r["steps_per_episode"] for r in recs[:3])
+    final_survival = sum(r["steps_per_episode"] for r in recs[-5:]) / 5
+    assert final_survival > 1.5 * early_survival, (
+        f"no learning: survival {early_survival} -> {final_survival}"
+    )
+    assert recs[-1]["reward_per_step"] > 1.5 * recs[0]["reward_per_step"]
+
+
+def test_curves_carry_greedy_eval_stats():
+    """The committed curves embed batched greedy-eval checkpoints
+    (rl/evaluate.py via --eval-every): eval_return present and improving
+    from the first eval to the last."""
+    for name in ("dqn.jsonl", "dqn_k4.jsonl", "ppo.jsonl", "grouped_dqn.jsonl"):
+        recs = [r for r in _load(name) if "eval_return" in r]
+        assert len(recs) >= 2, f"{name}: no eval checkpoints recorded"
+        assert recs[-1]["eval_return"] > recs[0]["eval_return"], (
+            f"{name}: greedy eval did not improve "
+            f"({recs[0]['eval_return']} -> {recs[-1]['eval_return']})"
+        )
+        assert recs[-1]["eval_episodes"] > 0
+
+
 def test_ppo_curve_beats_random():
     """Survival (steps/episode) and reward/step climb well above the random
     policy (ref workload: examples/train_ppo.py)."""
