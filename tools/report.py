@@ -96,6 +96,9 @@ def readme_block(n: int, parsed: dict, history: dict) -> str:
         f" | **{fmt(ex.get('ppo_env_steps_per_sec'))} env-steps/s trained** | whole"
         " iteration is one XLA program; measured attribution + roofline in"
         " `docs/scale/training_perf.md` |",
+        f"| RGB/composite observation pipeline (vmapped Dict obs + fused RGB, 8192 envs)"
+        f" | **{fmt(ex.get('rgb_actor_steps_per_sec'))} env-steps/s** | the reference"
+        " computes this per env on host (wrappers/observation.py:38-74) |",
         "",
         f"Numbers are the round-{n} archive (`BENCH_r{n:02d}.json`; headline statistic:"
         f" {stat}; run-to-run spread ~±10-15%). Headline history: "
@@ -125,6 +128,8 @@ def bench_doc_block(n: int, parsed: dict) -> str:
         f" {fmt(ex.get('grouped_boards_placements_per_sec'))} placements/s |",
         f"| 5 | PPO train step (rollout + GAE + updates as one program), 8192 envs |"
         f" {fmt(ex.get('ppo_env_steps_per_sec'))} env-steps/s trained |",
+        f"| 6 | RGB/composite observation pipeline, 8192 envs |"
+        f" {fmt(ex.get('rgb_actor_steps_per_sec'))} steps/s |",
     ]
     return "\n".join(rows)
 
