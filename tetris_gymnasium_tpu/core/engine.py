@@ -191,7 +191,7 @@ def active_mask(state: EngineState, config: EngineConfig, pieces: PieceSet = PIE
     OOP parity: the mask covers the piece's (square) bounding box, not just
     its filled cells (ref: envs/tetris.py:571-576).
     """
-    box = jnp.asarray(pieces.box)[state.piece]
+    box = piece_box(pieces, state.piece)  # one-hot, not a vmapped gather
     rows = jnp.arange(config.padded_height)
     cols = jnp.arange(config.padded_width)
     rmask = (rows >= state.y) & (rows < state.y + box)
@@ -200,11 +200,26 @@ def active_mask(state: EngineState, config: EngineConfig, pieces: PieceSet = PIE
 
 
 def _strip(piece_ids, rotations, valid, pieces: PieceSet) -> jnp.ndarray:
-    """Render a row of piece thumbnails ``[4, 4*n]``; invalid slots = bedrock."""
+    """Render a row of piece thumbnails ``[4, 4*n]``; invalid slots = bedrock.
+
+    The (piece, rotation) matrix fetch is a one-hot contraction over the
+    constant ``[n_pieces, 4, S, S]`` table — a vmapped per-slot gather
+    serializes on TPU (same rule as :func:`ops.bitboard.piece_row_bits`).
+    """
     size = pieces.matrices.shape[-1]
-    mats = jnp.asarray(pieces.matrices)[piece_ids, rotations]  # [n, S, S] binary
-    ids = jnp.asarray(pieces.ids)[piece_ids].astype(jnp.uint8)[:, None, None]
-    tiles = (mats.astype(jnp.uint8) * ids)
+    table = jnp.asarray(pieces.matrices)  # [P, 4, S, S] binary
+    n_p = table.shape[0]
+    oh = (
+        (piece_ids[:, None] == jnp.arange(n_p, dtype=jnp.int32)[None, :])[:, :, None]
+        & (rotations[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :])[:, None, :]
+    ).astype(jnp.int32)  # [n, P, 4]
+    mats = jnp.einsum("npr,prij->nij", oh, table.astype(jnp.int32))  # [n, S, S]
+    ids_tab = jnp.asarray(pieces.ids, dtype=jnp.int32)
+    ids = jnp.sum(
+        jnp.where(piece_ids[:, None] == jnp.arange(n_p)[None, :], ids_tab[None, :], 0),
+        axis=1,
+    )[:, None, None]
+    tiles = (mats * ids).astype(jnp.uint8)
     tiles = jnp.where(valid[:, None, None], tiles, jnp.uint8(1))
     return tiles.transpose(1, 0, 2).reshape(size, -1)
 

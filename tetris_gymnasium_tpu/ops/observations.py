@@ -113,7 +113,16 @@ def compose_rgb(
     v_sep = jnp.ones((board.shape[0] - 2 * pad_h, side_w), dtype=board.dtype)
     sidebar = jnp.concatenate([widen(queue_strip), v_sep, widen(holder_strip)], axis=0)
     stack = jnp.concatenate([board, sidebar], axis=1).astype(jnp.int32)
-    return jnp.asarray(pieces.palette)[stack]
+    # Palette lookup as a one-hot contraction, NOT a per-pixel gather: a
+    # vmapped [H, W] gather into the tiny palette table serializes on TPU
+    # and dominated the whole RGB actor pipeline (measured ~1.6 ms of a
+    # 1.84 ms step+render iteration at B=8192; the contraction drops it to
+    # VPU-vectorized multiply-adds over the <=16 palette entries).
+    palette = jnp.asarray(pieces.palette, dtype=jnp.int32)  # [n, 3]
+    oh = (stack[..., None] == jnp.arange(palette.shape[0], dtype=jnp.int32)).astype(
+        jnp.int32
+    )  # [..., n]
+    return jnp.einsum("...n,nc->...c", oh, palette).astype(jnp.uint8)
 
 
 def upscale_rgb(rgb: jnp.ndarray, factor: int) -> jnp.ndarray:
