@@ -232,7 +232,7 @@ def project_active(state: EngineState, config: EngineConfig, pieces: PieceSet = 
     """
     mat = piece_matrix(pieces, state.piece, state.rotation)
     hit = collision(state.board, mat, state.x, state.y)
-    stamped = project(state.board, mat, state.x, state.y, jnp.asarray(pieces.ids)[state.piece])
+    stamped = project(state.board, mat, state.x, state.y, piece_id(pieces, state.piece))
     return jnp.where(hit, state.board, stamped)
 
 

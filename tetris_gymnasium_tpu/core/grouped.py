@@ -68,16 +68,19 @@ def _candidate(board, piece, rotation, cand, config: EngineConfig, pieces: Piece
     Sentinel boards follow the reference: illegal -> all ones, game-over
     placement -> all zeros (ref: grouped.py:164-177).
     """
+    from tetris_gymnasium_tpu.core.engine import piece_box, piece_id
+
     pieces = pieces.jx()
     x_base, r = cand // 4, cand % 4
     rot = jnp.mod(rotation + r, 4)
     mat = piece_matrix(pieces, piece, rot)
-    x = x_base + config.padding - pieces.box[piece] // 2
+    # one-hot box/id lookups: vmapped per-candidate scalar gathers serialise
+    x = x_base + config.padding - piece_box(pieces, piece) // 2
     y = drop_distance(board, mat, x, jnp.int32(0))  # drop from the top
 
     frame_hit = _frame_overlap(board, mat, x, y)
     stack_hit = collision(board, mat, x, y)
-    placed = project(board, mat, x, y, pieces.ids[piece])
+    placed = project(board, mat, x, y, piece_id(pieces, piece))
     cleared, lines = clear_lines(placed, config.height, config.width, config.padding)
 
     obs = jnp.where(
