@@ -291,3 +291,55 @@ def test_scripted_mechanics_parity_wide_vs_reference(gravity):
             assert ref.x == int(mine.x) and ref.y == int(mine.y), f"position @ {t}"
         if bool(ref_done):
             break
+
+
+# ---------------------------------------------------------------------------
+# Wrappers and vector env at wide geometry
+# ---------------------------------------------------------------------------
+
+
+def test_wrappers_on_wide_board():
+    """RgbObservation and FeatureVectorObservation through the shell at
+    width 30: shapes track the geometry, features value-check."""
+    import gymnasium as gym
+
+    import tetris_gymnasium_tpu.envs  # noqa: F401
+    from tetris_gymnasium_tpu.wrappers import (
+        FeatureVectorObservation,
+        RgbObservation,
+    )
+
+    base = gym.make("tetris_gymnasium_tpu/Tetris", width=30, height=20)
+    rgb_env = RgbObservation(base)
+    obs, _ = rgb_env.reset(seed=1)
+    pad = base.unwrapped.config.padding
+    side = max(4, 1) * pad  # queue_size=4, holder_size=1
+    assert obs.shape == (24, 38 + side, 3) and obs.dtype == np.uint8
+    obs, *_ = rgb_env.step(A.hard_drop)
+    assert obs.shape == (24, 38 + side, 3)
+
+    feat_env = FeatureVectorObservation(gym.make(
+        "tetris_gymnasium_tpu/Tetris", width=30, height=20
+    ))
+    fobs, _ = feat_env.reset(seed=1)
+    assert fobs.shape == (30 + 3,)
+    assert (fobs == 0).all()  # empty board: all heights/holes/bumpiness zero
+    fobs, *_ = feat_env.step(A.hard_drop)
+    assert fobs.max() > 0  # a locked piece raises some column height
+
+
+def test_vector_env_wide_board():
+    """TetrisVectorEnv at width 30 (multi-word turbo path under the numpy
+    boundary): steps, terminates, delivers final_obs convention."""
+    from tetris_gymnasium_tpu.envs import TetrisVectorEnv
+
+    venv = TetrisVectorEnv(16, EngineConfig(width=30, height=20), seed=2)
+    obs, _ = venv.reset(seed=2)
+    assert obs.shape == (16, 20, 30)
+    for _ in range(80):
+        obs, r, term, trunc, infos = venv.step(np.full(16, A.hard_drop))
+        if term.any():
+            assert infos["final_obs"].dtype == object
+            assert infos["final_obs"][np.nonzero(term)[0][0]].shape == (20, 30)
+            return
+    pytest.fail("wide-board vector env never terminated under drop spam")
