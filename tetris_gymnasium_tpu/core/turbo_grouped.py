@@ -291,7 +291,7 @@ def step(
     else:
         noop_a = jnp.full_like(action, ACTIONS.no_op)
         ill_env, _, _, ill_done, ill_info = turbo.step(
-            env, noop_a, config, pieces, rewards
+            env, noop_a, config, pieces, rewards, max_clear=max_clear
         )
         ill_lines = ill_info["lines_cleared"]
 
