@@ -112,3 +112,14 @@ def test_grouped_policy_eval():
     )(jax.random.PRNGKey(7))
     assert int(out["episodes_completed"]) > 0
     assert float(out["length_mean"]) > 0
+
+
+def test_eval_on_wide_board():
+    """The eval harness runs on the multi-word wide-board path too."""
+    cfg = EngineConfig(width=30, height=14, auto_reset=False)
+    act = lambda obs: jnp.full((obs.shape[0],), 5, jnp.int32)  # noqa: E731
+    out = jax.jit(
+        lambda key: evaluate.evaluate_policy(act, 16, cfg, key, max_steps=200)
+    )(jax.random.PRNGKey(8))
+    assert int(out["episodes_completed"]) == 16
+    assert float(out["length_mean"]) > 0
