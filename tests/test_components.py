@@ -216,3 +216,49 @@ class TestShellInjection:
         assert obs["board"].shape == (12, 12)
         obs, r, term, trunc, info = env.step(5)  # hard drop
         assert obs["board"].max() == 2  # single piece id
+
+
+def test_flagship_plays_oversize_custom_piece_set():
+    """Piece boxes beyond turbo's 5x5 packed-table limit (its documented
+    guard routes them here) play full games on the flagship engine — on the
+    default geometry AND on a wide (multi-word) board.  The reference
+    accepts arbitrary custom Tetromino matrices (ref: envs/tetris.py:110-134)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tetris_gymnasium_tpu.components.tetromino import (
+        Tetromino,
+        pieces_from_tetrominoes,
+    )
+    from tetris_gymnasium_tpu.config import EngineConfig
+    from tetris_gymnasium_tpu.core import engine
+
+    tets = [
+        Tetromino(2, (255, 0, 0), np.array([[1, 1], [1, 1]], np.uint8)),
+        Tetromino(3, (0, 255, 0), np.ones((1, 6), np.uint8)),  # 6-wide I
+        Tetromino(4, (0, 0, 255), np.array([[0, 1, 0], [1, 1, 1], [0, 0, 0]], np.uint8)),
+    ]
+    pieces, pad = pieces_from_tetrominoes(tets)
+    assert int(pieces.box.max()) == 6  # beyond turbo's packing envelope
+
+    rng = np.random.default_rng(0)
+    for width in (10, 30):  # single-word padded=22, multi-word padded=42
+        cfg = EngineConfig(
+            width=width, height=16, padding=pad, queue_size=2,
+            auto_reset=False, queue_kind="uniform",
+        )
+        state, obs = engine.reset(
+            jax.random.PRNGKey(0), cfg, pieces=pieces, obs_fn=engine.observe_board
+        )
+        step = jax.jit(functools.partial(
+            engine.step, config=cfg, pieces=pieces, obs_fn=engine.observe_board
+        ))
+        steps = 0
+        while not bool(state.game_over) and steps < 2000:
+            state, obs, r, d, info = step(state, jnp.int32(rng.integers(0, 8)))
+            steps += 1
+        assert bool(state.game_over) and steps > 5, f"width {width}"
+        assert obs.shape == (16, width)
