@@ -37,7 +37,7 @@ from tetris_gymnasium_tpu.config import (
 )
 from tetris_gymnasium_tpu.pieces import PIECES, PieceSet, make_pieces
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "ActionsMapping",
