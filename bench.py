@@ -30,6 +30,7 @@ Prints ONE JSON line:
 import functools
 import json
 import os
+import re
 import time
 import traceback
 
@@ -374,6 +375,35 @@ def main():
                 traceback.print_exc()
                 extras[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
         print(_result_line(steps_per_sec, extras), flush=True)
+    _write_local_archive(steps_per_sec, extras)
+
+
+def _write_local_archive(steps_per_sec: float, extras: dict) -> None:
+    """Drop ``BENCH_local.json`` next to the driver archives.
+
+    The driver archives ``BENCH_r<N>.json`` only *after* the round's last
+    commit, so a round's own numbers were structurally unpublishable by
+    ``tools/report.py`` until the next round (round-4 review weak #1).  This
+    local archive records which round it supersedes; report.py prefers it
+    over ``BENCH_r<supersedes>.json`` and ignores it once a newer driver
+    archive lands.  Disable with ``BENCH_NO_LOCAL=1`` (e.g. on dev machines
+    whose numbers should not become the published ones).
+    """
+    if os.environ.get("BENCH_NO_LOCAL", "0").lower() not in ("0", "", "false"):
+        return
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(root)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    payload = {
+        "supersedes": max(rounds, default=0),
+        "parsed": json.loads(_result_line(steps_per_sec, extras)),
+    }
+    with open(os.path.join(root, "BENCH_local.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+        f.write("\n")
 
 
 if __name__ == "__main__":

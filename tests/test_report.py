@@ -56,6 +56,24 @@ def test_latest_bench_picks_highest_round(tmp_path):
     assert (n, parsed["value"]) == (10, 20)
 
 
+def test_local_bench_supersedes_matching_round(tmp_path):
+    (tmp_path / "BENCH_r04.json").write_text(
+        json.dumps({"parsed": {"value": 10, "vs_baseline": 1.0}})
+    )
+    (tmp_path / "BENCH_local.json").write_text(
+        json.dumps({"supersedes": 4, "parsed": {"value": 99, "vs_baseline": 2.0}})
+    )
+    n, _ = report.latest_bench(tmp_path)
+    assert report.local_bench(tmp_path, n)["value"] == 99
+    # A newer driver archive makes the local file stale: ignored.
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"parsed": {"value": 20, "vs_baseline": 1.0}})
+    )
+    n, parsed = report.latest_bench(tmp_path)
+    assert report.local_bench(tmp_path, n) is None
+    assert parsed["value"] == 20
+
+
 def test_missing_marker_raises(tmp_path):
     p = tmp_path / "doc.md"
     p.write_text("no markers here\n")

@@ -50,6 +50,24 @@ def latest_bench(root: Path = ROOT):
     return best_n, best
 
 
+def local_bench(root: Path, archived_n: int):
+    """Parsed result from ``BENCH_local.json`` if it supersedes round ``archived_n``.
+
+    ``bench.py`` drops this file after every full run, recording the highest
+    driver archive it saw (``supersedes``).  It wins over that archive — so a
+    round can publish its own numbers before the driver archives them — and
+    is automatically ignored as soon as a newer ``BENCH_r*.json`` lands.
+    Returns the parsed dict, or None when absent/stale.
+    """
+    p = root / "BENCH_local.json"
+    if not p.exists():
+        return None
+    data = json.loads(p.read_text())
+    if data.get("supersedes") != archived_n:
+        return None
+    return data.get("parsed")
+
+
 def all_headlines(root: Path = ROOT):
     """Headline value per archived round, ``{round: steps_per_sec}``."""
     out = {}
@@ -75,7 +93,13 @@ def fmt(v) -> str:
     return f"{v:.0f}"
 
 
-def readme_block(n: int, parsed: dict, history: dict) -> str:
+def source_label(n: int, is_local: bool) -> str:
+    if is_local:
+        return f"a local `bench.py` run superseding the round-{n} archive (`BENCH_local.json`"
+    return f"the round-{n} archive (`BENCH_r{n:02d}.json`"
+
+
+def readme_block(n: int, parsed: dict, history: dict, is_local: bool = False) -> str:
     ex = parsed.get("extras", {})
     stat = ex.get("headline_stat", "unlabeled pre-r4 archive (r3 used best-of-2 blocks)")
     rows = [
@@ -100,7 +124,7 @@ def readme_block(n: int, parsed: dict, history: dict) -> str:
         f" | **{fmt(ex.get('rgb_actor_steps_per_sec'))} env-steps/s** | the reference"
         " computes this per env on host (wrappers/observation.py:38-74) |",
         "",
-        f"Numbers are the round-{n} archive (`BENCH_r{n:02d}.json`; headline statistic:"
+        f"Numbers are {source_label(n, is_local)}; headline statistic:"
         f" {stat}; run-to-run spread ~±10-15%). Headline history: "
         + ", ".join(f"r{k} {fmt(v)}" for k, v in sorted(history.items()))
         + ".",
@@ -108,11 +132,11 @@ def readme_block(n: int, parsed: dict, history: dict) -> str:
     return "\n".join(rows)
 
 
-def bench_doc_block(n: int, parsed: dict) -> str:
+def bench_doc_block(n: int, parsed: dict, is_local: bool = False) -> str:
     ex = parsed.get("extras", {})
     stat = ex.get("headline_stat", "unlabeled pre-r4 archive (r3 used best-of-2 blocks)")
     rows = [
-        f"Current numbers (one v5e chip, round-{n} archive `BENCH_r{n:02d}.json`,"
+        f"Current numbers (one v5e chip, {source_label(n, is_local)}),"
         f" headline statistic: {stat}):",
         "",
         "| # | Workload | Throughput |",
@@ -152,12 +176,21 @@ def splice(path: Path, marker: str, content: str, check: bool) -> bool:
 
 def run(check: bool = False, root: Path = ROOT) -> list:
     n, parsed = latest_bench(root)
+    local = local_bench(root, n)
+    is_local = local is not None
+    if is_local:
+        parsed = local
     history = all_headlines(root)
     stale = []
-    if splice(root / "README.md", "bench-table", readme_block(n, parsed, history), check):
+    if splice(
+        root / "README.md", "bench-table", readme_block(n, parsed, history, is_local), check
+    ):
         stale.append("README.md")
     if splice(
-        root / "docs" / "scale" / "bench.md", "bench-table", bench_doc_block(n, parsed), check
+        root / "docs" / "scale" / "bench.md",
+        "bench-table",
+        bench_doc_block(n, parsed, is_local),
+        check,
     ):
         stale.append("docs/scale/bench.md")
     return stale
