@@ -19,6 +19,12 @@ def main():
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--upscale", type=int, default=10)
     p.add_argument("--checkpoint", default=None, help="DQN params (utils.checkpoint)")
+    p.add_argument(
+        "--frame-stack", type=int, default=1,
+        help="K the checkpoint trained with (--frame-stack K in train_cnn); "
+        "builds the restore template with K input channels and drives the "
+        "episode through the same [1, K, H, W] motion window",
+    )
     args = p.parse_args()
 
     import jax
@@ -33,17 +39,11 @@ def main():
         from tetris_gymnasium_tpu.utils import checkpoint
 
         net = QNetworkCNN()
-        example = net.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 20, 10), jnp.int8)
-        )
+        k = args.frame_stack
+        obs_shape = (1, 20, 10) if k <= 1 else (1, k, 20, 10)
+        example = net.init(jax.random.PRNGKey(0), jnp.zeros(obs_shape, jnp.int8))
         params = checkpoint.restore(args.checkpoint, example)
-
-        @jax.jit
-        def greedy(obs):
-            return jnp.argmax(net.apply(params, obs[None]), axis=-1)[0]
-
-        def policy(obs, key):  # noqa: ARG001 — greedy ignores the key
-            return greedy(obs)
+        policy = video.greedy_policy_fn(net, params, frame_stack=k)
 
     frames = video.record_episode(
         policy_fn=policy,

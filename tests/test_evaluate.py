@@ -52,6 +52,18 @@ def test_stats_match_hand_rollout():
     np.testing.assert_allclose(float(out["lines_mean"]), lines.mean(), rtol=1e-6)
 
 
+def test_fully_truncated_eval_has_no_sentinels():
+    """max_steps=1 finishes zero episodes: min/max must be 0, not ±2^30."""
+    act = lambda obs: jnp.zeros((obs.shape[0],), jnp.int32)  # noqa: E731
+    out = jax.jit(
+        lambda key: evaluate.evaluate_policy(act, N, CFG, key, max_steps=1)
+    )(jax.random.PRNGKey(0))
+    assert int(out["episodes_completed"]) == 0
+    assert float(out["return_min"]) == 0.0
+    assert float(out["return_max"]) == 0.0
+    assert float(out["return_mean"]) == 0.0
+
+
 def test_q_policy_eval_and_determinism():
     net = QNetworkCNN()
     init, _, observe = env_fns(CFG, "turbo")

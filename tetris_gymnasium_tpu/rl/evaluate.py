@@ -37,12 +37,13 @@ def _stats(states, max_steps: int) -> dict:
         return jnp.sum(jnp.where(done, x.astype(jnp.float32), 0.0)) / safe
 
     neg, pos = jnp.float32(-(2.0**30)), jnp.float32(2.0**30)
+    any_done = n_done > 0  # fully-truncated evals must not leak the ±2^30 sentinels
     return {
         "episodes_completed": n_done,
         "completed_frac": n_done.astype(jnp.float32) / done.shape[0],
         "return_mean": masked_mean(states.score),
-        "return_min": jnp.min(jnp.where(done, states.score, pos)),
-        "return_max": jnp.max(jnp.where(done, states.score, neg)),
+        "return_min": jnp.where(any_done, jnp.min(jnp.where(done, states.score, pos)), 0.0),
+        "return_max": jnp.where(any_done, jnp.max(jnp.where(done, states.score, neg)), 0.0),
         "length_mean": masked_mean(states.steps),
         "lines_mean": masked_mean(states.lines),
         # envs alive at the cap bias the stats toward short episodes; the
