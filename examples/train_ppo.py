@@ -17,7 +17,7 @@ import time
 
 import jax
 
-from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.config import EngineConfig, RewardsMapping
 from tetris_gymnasium_tpu.rl import evaluate, ppo
 from tetris_gymnasium_tpu.utils.tracking import Tracker
 from tetris_gymnasium_tpu.models.networks import ActorCriticCNN
@@ -30,6 +30,32 @@ def main():
     p.add_argument("--rollout-len", type=int, default=128)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--ent-coef", type=float, default=0.01)
+    p.add_argument(
+        "--anneal",
+        action="store_true",
+        help="linearly decay the learning rate to 0 and ent-coef to "
+        "--ent-coef-final over the run (CleanRL --anneal-lr analog)",
+    )
+    p.add_argument("--ent-coef-final", type=float, default=0.0)
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--gamma", type=float, default=0.999)
+    p.add_argument("--update-epochs", type=int, default=6)
+    p.add_argument("--n-minibatches", type=int, default=8)
+    p.add_argument(
+        "--alife", type=float, default=1.0,
+        help="RewardsMapping.alife — per-commit survival reward "
+        "(ref: mappings/rewards.py:12)",
+    )
+    p.add_argument(
+        "--game-over-reward", type=float, default=0.0,
+        help="RewardsMapping.game_over — terminal reward "
+        "(ref: mappings/rewards.py:14)",
+    )
+    p.add_argument("--eval-max-steps", type=int, default=2000)
+    p.add_argument(
+        "--save-params", type=str, default=None,
+        help="save final actor-critic params here (utils.checkpoint)",
+    )
     p.add_argument(
         "--impl",
         choices=("flagship", "turbo"),
@@ -56,7 +82,17 @@ def main():
     args = p.parse_args()
 
     env_config = EngineConfig(auto_reset=True)
-    ppo_cfg = ppo.PPOConfig(rollout_len=args.rollout_len, ent_coef=args.ent_coef)
+    ppo_cfg = ppo.PPOConfig(
+        rollout_len=args.rollout_len,
+        ent_coef=args.ent_coef,
+        ent_coef_final=args.ent_coef_final,
+        learning_rate=args.lr,
+        gamma=args.gamma,
+        update_epochs=args.update_epochs,
+        n_minibatches=args.n_minibatches,
+        total_iterations=args.iterations if args.anneal else 0,
+    )
+    rewards = RewardsMapping(alife=args.alife, game_over=args.game_over_reward)
     net = ActorCriticCNN()
 
     # jit the init: eagerly it dispatches hundreds of tiny ops, which is
@@ -72,7 +108,7 @@ def main():
         )
     )(jax.random.PRNGKey(args.seed))
     train_step = jax.jit(
-        ppo.make_train_step(env_config, ppo_cfg, net, impl=args.impl),
+        ppo.make_train_step(env_config, ppo_cfg, net, impl=args.impl, rewards=rewards),
         donate_argnums=0,
     )
 
@@ -89,7 +125,7 @@ def main():
             env_config,
             key,
             impl=args.impl,
-            max_steps=1000,
+            max_steps=args.eval_max_steps,
         )
     )
 
@@ -132,6 +168,11 @@ def main():
             )
             print(f"recorded greedy episode -> {path}", flush=True)
             tracker.log_video(path, it)
+    if args.save_params:
+        from tetris_gymnasium_tpu.utils import checkpoint
+
+        checkpoint.save(args.save_params, jax.device_get(ts.params))
+        print(f"saved params to {args.save_params}", flush=True)
     if log_f:
         log_f.close()
     tracker.finish()

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from gymnasium import spaces
 
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.core import engine, grouped
@@ -236,3 +237,184 @@ def test_wrapper_info_board_absent_on_illegal():
     obs, reward, done, truncated, info = w.step(illegal)
     assert done and "board" not in info
     w.env.close()
+
+
+# -- per-candidate inner observation wrappers (ref: grouped.py:183-206) -------
+
+
+def test_wrapper_rgb_inner_mode_and_space():
+    """[RgbObservation] inner wrapper => per-candidate RGB composites with an
+    honest uint8 0..255 space (the reference declares high=h*w even for RGB
+    inner wrappers — a space bug, like FeatureVectorObservation's)."""
+    from tetris_gymnasium_tpu.wrappers import RgbObservation
+
+    w = _wrapped_env_with_fixture(inner_wrapper_types=[RgbObservation])
+    assert w.mode == "rgb"
+    obs, info = w.reset(seed=3)
+    assert obs.shape == w.observation_space.shape and obs.dtype == np.uint8
+    assert w.observation_space.shape[0] == 40 and w.observation_space.shape[-1] == 3
+    legal = int(np.where(w.legal_actions_mask == 1)[0][0])
+    obs, reward, done, truncated, info = w.step(legal)
+    assert obs.shape == w.observation_space.shape
+    w.env.close()
+
+
+def test_wrapper_rgb_mode_matches_host_recipe():
+    """The fused device rgb mode == the generic host chain (Dict rebuild per
+    candidate + RgbObservation.observation), on the scripted fixture board."""
+    from tetris_gymnasium_tpu.wrappers import RgbObservation
+
+    w = _wrapped_env_with_fixture(inner_wrapper_types=[RgbObservation])
+    dev_obs, _ = w._observe(w._gstate.env)
+
+    # host recipe: raw candidate boards + live strips through the wrapper
+    boards, _ = grouped.jit_observation(CFG, "boards")(w._gstate.env)
+    base_obs = w.env.unwrapped._to_numpy(w.env.unwrapped._observe(w._gstate.env))
+    host = w._apply_candidates(np.asarray(boards), base_obs)
+    assert np.array_equal(np.asarray(dev_obs), host)
+    w.env.close()
+
+
+def test_wrapper_host_chain_arbitrary_wrapper():
+    """A user-defined observation wrapper (not one of ours) is honored per
+    candidate via the host path, matching a manual per-candidate loop."""
+    import gymnasium as gym
+
+    class BoardSum(gym.ObservationWrapper):
+        """Maps the Dict obs to a 1-element vector: sum of board cells."""
+
+        def __init__(self, env):
+            super().__init__(env)
+            self.observation_space = spaces.Box(0, 1e9, (1,), dtype=np.float32)
+
+        def observation(self, observation):
+            return np.asarray([observation["board"].sum()], dtype=np.float32)
+
+    import tetris_gymnasium_tpu.envs  # noqa: F401
+    from tetris_gymnasium_tpu.wrappers import GroupedActionsObservations
+
+    env = gym.make("tetris_gymnasium_tpu/Tetris", gravity=False)
+    # two wrappers => no single-wrapper fast path => host mode
+    inner = [BoardSum(env), BoardSum(env)]
+
+    class Passthrough(gym.ObservationWrapper):
+        def __init__(self, env):
+            super().__init__(env)
+            self.observation_space = spaces.Box(0, 1e9, (1,), dtype=np.float32)
+
+        def observation(self, observation):
+            return observation
+
+    w = GroupedActionsObservations(env, observation_wrappers=[inner[0], Passthrough(env)])
+    assert w.mode == "host"
+    obs, info = w.reset(seed=0)
+    boards, _ = grouped.jit_observation(CFG, "boards")(w._gstate.env)
+    want = np.asarray(boards).sum(axis=(1, 2), keepdims=False)[:, None]
+    np.testing.assert_allclose(obs, want.astype(np.float32))
+    w.env.close()
+
+
+def test_wrapper_host_chain_features_matches_features_mode():
+    """mode="host" with [FeatureVectorObservation] equals the fused features
+    kernel (candidate features from the candidate boards, sentinels included)."""
+    from tetris_gymnasium_tpu.wrappers import FeatureVectorObservation
+
+    import gymnasium as gym
+    import tetris_gymnasium_tpu.envs  # noqa: F401
+    from tetris_gymnasium_tpu.wrappers import GroupedActionsObservations
+
+    env = gym.make("tetris_gymnasium_tpu/Tetris", gravity=False)
+    fv = FeatureVectorObservation(env)
+    fast = GroupedActionsObservations(env, observation_wrappers=[fv])
+    slow = GroupedActionsObservations(env, observation_wrappers=[fv], mode="host")
+    assert fast.mode == "features" and slow.mode == "host"
+    obs_f, _ = fast.reset(seed=5)
+    obs_h, _ = slow.reset(seed=5)
+    np.testing.assert_allclose(obs_f, obs_h.astype(np.float32))
+    env.close()
+
+
+def test_wrapper_unknown_inner_wrapper_raises():
+    """Anything without .observation() raises instead of silently changing
+    the observation (round-4 review weak #4)."""
+    import gymnasium as gym
+    import tetris_gymnasium_tpu.envs  # noqa: F401
+    from tetris_gymnasium_tpu.wrappers import GroupedActionsObservations
+
+    env = gym.make("tetris_gymnasium_tpu/Tetris", gravity=False)
+    with pytest.raises(TypeError, match="observation"):
+        GroupedActionsObservations(env, observation_wrappers=[object(), object()])
+    env.close()
+
+
+def test_wrapper_host_illegal_sentinel_is_space_high():
+    """Illegal+terminate in host mode: ones * observation_space.high of the
+    WRAPPED space, no chain on the sentinel (ref: grouped.py:221-224)."""
+    from tetris_gymnasium_tpu.wrappers import RgbObservation
+
+    w = _wrapped_env_with_fixture(inner_wrapper_types=[RgbObservation])
+    w.mode = "host"  # force the host path on the same rgb-shaped space
+    illegal = int(np.where(w.legal_actions_mask == 0)[0][0])
+    obs, reward, done, truncated, info = w.step(illegal)
+    assert done
+    assert np.all(obs == w.observation_space.high.flat[0])
+    w.env.close()
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/tetris_gymnasium"),
+    reason="reference repo missing",
+)
+def test_rgb_inner_wrapper_matches_reference_per_candidate():
+    """Literal parity: our fused rgb mode == the reference's
+    GroupedActionsObservations(observation_wrappers=[RgbObservation]) output
+    on the same pinned state (scripted piece sequence + fixture stack),
+    candidate for candidate (ref: grouped.py:183-206)."""
+    import sys
+
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    from tetris_gymnasium.components.tetromino_queue import TetrominoQueue
+    from tetris_gymnasium.components.tetromino_randomizer import Randomizer
+    from tetris_gymnasium.envs.tetris import Tetris
+    from tetris_gymnasium.wrappers.grouped import (
+        GroupedActionsObservations as RefGrouped,
+    )
+    from tetris_gymnasium.wrappers.observation import RgbObservation as RefRgb
+
+    class SequenceRandomizer(Randomizer):
+        def __init__(self, size):
+            super().__init__(size)
+            self.i = 0
+
+        def get_next_tetromino(self) -> int:
+            v = self.i % self.size
+            self.i += 1
+            return v
+
+        def reset(self, seed=None):
+            self.i = 0
+
+    ref = Tetris(render_mode=None)
+    rand = SequenceRandomizer(7)
+    ref.randomizer = rand
+    ref.queue = TetrominoQueue(rand)
+    ref_gw = RefGrouped(ref, observation_wrappers=[RefRgb(ref)])
+    base_obs, _ = ref.reset(seed=1)
+
+    # half-filled stack on both sides (O-piece id 2) to exercise clears,
+    # sentinels and frame legality in the candidate set
+    fixture = example_board()
+    ref.board = np.asarray(fixture).copy()
+    ref_obs = ref_gw.observation(base_obs)
+    ref_mask = np.asarray(ref_gw.legal_actions_mask)
+
+    from tests.test_engine_vs_oop import _make_my_state
+
+    cfg = EngineConfig()
+    mine = _make_my_state(cfg).replace(board=jnp.asarray(fixture))
+    my_obs, my_mask = grouped.jit_observation(cfg, "rgb")(mine)
+
+    assert np.array_equal(np.asarray(my_mask), ref_mask)
+    assert my_obs.shape == ref_obs.shape
+    assert np.array_equal(np.asarray(my_obs), ref_obs.astype(np.uint8))

@@ -58,6 +58,43 @@ def test_ppo_train_step_runs_and_updates():
     assert int(ts2.env_states.steps.sum()) > 0
 
 
+def test_ppo_annealing_schedules():
+    """total_iterations>0: ent_coef decays linearly, update_i counts."""
+    env_config = EngineConfig(auto_reset=True)
+    cfg = ppo.PPOConfig(
+        rollout_len=4, update_epochs=1, n_minibatches=2,
+        total_iterations=4, ent_coef=0.1, ent_coef_final=0.02,
+    )
+    net = ActorCriticCNN()
+    ts = ppo.init_train_state(jax.random.PRNGKey(0), 8, env_config, cfg, net)
+    step = jax.jit(ppo.make_train_step(env_config, cfg, net))
+    coefs = []
+    for _ in range(5):
+        ts, metrics = step(ts)
+        coefs.append(float(metrics["ent_coef"]))
+    # linear 0.1 -> 0.02 over 4 iterations, clamped at the floor after
+    np.testing.assert_allclose(coefs, [0.1, 0.08, 0.06, 0.04, 0.02], atol=1e-6)
+    assert int(ts.update_i) == 5
+
+
+def test_ppo_custom_rewards_mapping():
+    """A custom RewardsMapping reaches the rollout engine (alife=0 => smaller
+    per-commit rewards than the default alife=1)."""
+    from tetris_gymnasium_tpu.config import RewardsMapping
+
+    env_config = EngineConfig(auto_reset=True)
+    cfg = ppo.PPOConfig(rollout_len=16, update_epochs=1, n_minibatches=2)
+    net = ActorCriticCNN()
+    ts = ppo.init_train_state(jax.random.PRNGKey(0), 8, env_config, cfg, net)
+    step0 = jax.jit(ppo.make_train_step(env_config, cfg, net))
+    stepz = jax.jit(
+        ppo.make_train_step(env_config, cfg, net, rewards=RewardsMapping(alife=0.0))
+    )
+    _, m0 = step0(ts)
+    _, mz = stepz(ts)
+    assert float(mz["mean_reward"]) < float(m0["mean_reward"])
+
+
 def test_ppo_turbo_impl_matches_flagship_rollout_stats():
     """impl="turbo" trains on the bit-packed engine: runs, updates, advances.
 

@@ -24,7 +24,11 @@ from tetris_gymnasium_tpu.config import ActionsMapping, EngineConfig, RewardsMap
 from tetris_gymnasium_tpu.core import engine
 from tetris_gymnasium_tpu.core.engine import EngineState
 from tetris_gymnasium_tpu.ops.board import clear_lines, collision, drop_distance, project
-from tetris_gymnasium_tpu.ops.observations import FeatureFlags, feature_vector
+from tetris_gymnasium_tpu.ops.observations import (
+    FeatureFlags,
+    compose_rgb,
+    feature_vector,
+)
 from tetris_gymnasium_tpu.pieces import PIECES, PieceSet, piece_matrix
 from tetris_gymnasium_tpu.utils.tree import select_tree
 
@@ -121,7 +125,12 @@ def grouped_observation(
     on the sentinel boards too, as the reference applies its observation
     wrappers after sentinel substitution (ref: grouped.py:183-206), but
     without reproducing the reference's row-zeroing fancy-index bug
-    (ref: wrappers/observation.py:252).
+    (ref: wrappers/observation.py:252).  ``mode='rgb'``: per-candidate RGB
+    composites — the reference's ``observation_wrappers=[RgbObservation]``
+    path, which rebuilds each candidate as a Dict obs (candidate board, zero
+    active mask, live queue/holder strips) and renders it
+    (ref: grouped.py:183-206); here the 40 candidates render as one batched
+    one-hot palette contraction.
     """
     boards, mask, over, _ = placements(state, config, pieces)
     if mode == "boards":
@@ -130,6 +139,22 @@ def grouped_observation(
         crop = boards[:, : -config.padding, config.padding : -config.padding]
         feats = jax.vmap(lambda b: feature_vector(b, feature_flags))(crop)
         return feats.astype(jnp.float32), mask
+    if mode == "rgb":
+        slot = jnp.arange(state.queue.shape[0])
+        queue_strip = engine._strip(
+            state.queue, jnp.zeros_like(state.queue), slot >= 0, pieces
+        )
+        hslot = jnp.arange(state.holder_piece.shape[0])
+        holder_strip = engine._strip(
+            state.holder_piece, state.holder_rotation,
+            hslot < state.holder_count, pieces,
+        )
+        rgb = jax.vmap(
+            lambda b: compose_rgb(
+                b.astype(jnp.uint8), queue_strip, holder_strip, pieces
+            )
+        )(boards)
+        return rgb, mask
     raise ValueError(f"unknown grouped observation mode: {mode}")
 
 
@@ -200,7 +225,11 @@ def step(
 
     obs, mask = grouped_observation(new_env, config, pieces, mode)
     if terminate_on_illegal:
-        high = jnp.float32(config.height * config.width)
+        # Sentinel = the observation space's `high` (ref: grouped.py:221-224).
+        # For id/feature modes that is height*width; the rgb space is honestly
+        # declared 0..255 (the reference declares high=h*w even for RGB inner
+        # wrappers — a space bug we fix, like FeatureVectorObservation's).
+        high = jnp.float32(255 if mode == "rgb" else config.height * config.width)
         obs = jnp.where(illegal, jnp.full_like(obs, high), obs)
 
     new_gstate = GroupedState(env=new_env, mask=mask)

@@ -195,6 +195,7 @@ def train_state_shardings(mesh: Mesh, ts, impl: str = "flagship"):
         env_states=env,
         last_obs=env_sharding(mesh),
         key=repl,
+        update_i=None if ts.update_i is None else repl,
     )
 
 

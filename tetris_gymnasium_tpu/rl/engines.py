@@ -14,28 +14,39 @@ same board observation values, so a policy trained on one runs on the other.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 
-from tetris_gymnasium_tpu.config import EngineConfig
+from tetris_gymnasium_tpu.config import EngineConfig, RewardsMapping
 from tetris_gymnasium_tpu.core import engine, turbo
 
 
 def env_fns(
-    env_config: EngineConfig, impl: str
+    env_config: EngineConfig,
+    impl: str,
+    rewards: Optional[RewardsMapping] = None,
 ) -> Tuple[Callable, Callable, Callable]:
-    """(init, step, observe) batched over the env axis for the chosen engine."""
+    """(init, step, observe) batched over the env axis for the chosen engine.
+
+    ``rewards`` overrides the default :class:`RewardsMapping` — the same
+    shaping surface the reference exposes via its ``rewards_mapping``
+    constructor kwarg (ref: envs/tetris.py:84, mappings/rewards.py:5-15);
+    None keeps the engines' defaults.
+    """
+    rkw = {} if rewards is None else {"rewards": rewards}
     if impl == "turbo":
         init = functools.partial(turbo.init, config=env_config)
-        step = functools.partial(turbo.step, config=env_config)
+        step = functools.partial(turbo.step, config=env_config, **rkw)
         observe = functools.partial(turbo.observe_board, config=env_config)
         return init, step, observe
     if impl != "flagship":
         raise ValueError(f"unknown engine impl: {impl!r}")
     init = jax.vmap(functools.partial(engine.init_state, config=env_config))
     step = jax.vmap(
-        functools.partial(engine.step, config=env_config, obs_fn=lambda s, c, p: ())
+        functools.partial(
+            engine.step, config=env_config, obs_fn=lambda s, c, p: (), **rkw
+        )
     )
     observe = jax.vmap(functools.partial(engine.observe_board, config=env_config))
     return init, step, observe

@@ -53,6 +53,15 @@ class PPOConfig(NamedTuple):
     # permutation of blocks.  1 = exact CleanRL per-sample shuffle
     # (ref: train_ppo.py:300-305).
     shuffle_block: int = 64
+    # Annealing horizon in train_step calls; 0 disables both schedules.
+    # With it set, the learning rate decays linearly to 0 over the run
+    # (CleanRL's --anneal-lr, ref: train_ppo.py:139-141, 200-207) and the
+    # entropy coefficient decays linearly from ``ent_coef`` to
+    # ``ent_coef_final`` — round-4 PPO collapsed its entropy to 0.08 by 78M
+    # steps and froze at 1.9 lines/episode; annealed exploration is what lets
+    # long runs keep improving.
+    total_iterations: int = 0
+    ent_coef_final: float = 0.0
 
 
 @struct.dataclass
@@ -64,6 +73,9 @@ class TrainState:
     env_states: engine.EngineState
     last_obs: jnp.ndarray  # int8 [B, H, W]
     key: jnp.ndarray
+    # Train-step counter driving the annealing schedules; None (legacy
+    # construction sites) is fine while ``total_iterations == 0``.
+    update_i: Any = None
 
 
 class Transition(NamedTuple):
@@ -76,10 +88,24 @@ class Transition(NamedTuple):
 
 
 def make_optimizer(ppo: PPOConfig) -> optax.GradientTransformation:
-    """Adam with global-norm clipping (ref: train_ppo.py:182, 348-349)."""
+    """Adam with global-norm clipping (ref: train_ppo.py:182, 348-349).
+
+    With ``total_iterations`` set the learning rate follows a linear decay to
+    0 across every minibatch update of the run (CleanRL's --anneal-lr).
+    """
+    if ppo.total_iterations > 0:
+        lr = optax.linear_schedule(
+            init_value=ppo.learning_rate,
+            end_value=0.0,
+            transition_steps=(
+                ppo.total_iterations * ppo.update_epochs * ppo.n_minibatches
+            ),
+        )
+    else:
+        lr = ppo.learning_rate
     return optax.chain(
         optax.clip_by_global_norm(ppo.max_grad_norm),
-        optax.adam(ppo.learning_rate, eps=1e-5),
+        optax.adam(lr, eps=1e-5),
     )
 
 
@@ -100,7 +126,7 @@ def init_train_state(
     opt_state = make_optimizer(ppo).init(params)
     return TrainState(
         params=params, opt_state=opt_state, env_states=env_states,
-        last_obs=obs, key=key,
+        last_obs=obs, key=key, update_i=jnp.int32(0),
     )
 
 
@@ -123,6 +149,7 @@ def _gae(ppo: PPOConfig, traj: Transition, last_value: jnp.ndarray):
 def make_train_step(
     env_config: EngineConfig, ppo: PPOConfig, net: ActorCriticCNN,
     impl: str = "flagship",
+    rewards=None,
 ):
     """Build the jittable PPO iteration: rollout T steps, then update.
 
@@ -130,9 +157,11 @@ def make_train_step(
     (the reference relies on SyncVectorEnv's host-side autoreset,
     ref: train_ppo.py:185-190).  ``impl`` picks the rollout engine — see
     :func:`_env_fns`; the TrainState's ``env_states`` must come from
-    :func:`init_train_state` with the same ``impl``.
+    :func:`init_train_state` with the same ``impl``.  ``rewards`` is an
+    optional :class:`RewardsMapping` override (the reference's
+    ``rewards_mapping`` kwarg).
     """
-    _, env_step, observe = _env_fns(env_config, impl)
+    _, env_step, observe = _env_fns(env_config, impl, rewards)
 
     def policy_step(carry, _):
         env_states, obs, params, key = carry
@@ -145,7 +174,7 @@ def make_train_step(
         t = Transition(obs, action, log_prob, value, reward, done)
         return (env_states, new_obs, params, key), t
 
-    def loss_fn(params, batch, advantages, targets):
+    def loss_fn(params, batch, advantages, targets, ent_coef):
         logits, value = net.apply(params, batch.obs)
         log_probs = jax.nn.log_softmax(logits)
         log_prob = log_probs[jnp.arange(logits.shape[0]), batch.action]
@@ -164,12 +193,21 @@ def make_train_step(
         ).mean()
 
         entropy = -jnp.sum(jnp.exp(log_probs) * log_probs, axis=-1).mean()
-        total = pg_loss + ppo.vf_coef * v_loss - ppo.ent_coef * entropy
+        total = pg_loss + ppo.vf_coef * v_loss - ent_coef * entropy
         return total, (pg_loss, v_loss, entropy)
 
     optimizer = make_optimizer(ppo)
 
     def train_step(ts: TrainState) -> Tuple[TrainState, dict]:
+        # -- schedules -------------------------------------------------------
+        if ppo.total_iterations > 0:
+            frac = jnp.clip(
+                ts.update_i.astype(jnp.float32) / ppo.total_iterations, 0.0, 1.0
+            )
+            ent_coef = ppo.ent_coef + (ppo.ent_coef_final - ppo.ent_coef) * frac
+        else:
+            ent_coef = jnp.float32(ppo.ent_coef)
+
         # -- rollout ---------------------------------------------------------
         (env_states, last_obs, _, key), traj = jax.lax.scan(
             policy_step,
@@ -211,7 +249,7 @@ def make_train_step(
                 params, opt_state = carry2
                 mb = jax.tree.map(lambda x: merge(x[bidx]), flat)
                 grads, aux = jax.grad(loss_fn, has_aux=True)(
-                    params, mb, merge(adv_f[bidx]), merge(tgt_f[bidx])
+                    params, mb, merge(adv_f[bidx]), merge(tgt_f[bidx]), ent_coef
                 )
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -232,6 +270,7 @@ def make_train_step(
             "pg_loss": pg_loss,
             "v_loss": v_loss,
             "entropy": entropy,
+            "ent_coef": ent_coef,
             "mean_reward": traj.reward.mean(),
             "episodes_done": traj.done.sum(),
             "mean_score": ts.env_states.score.mean(),
@@ -239,6 +278,7 @@ def make_train_step(
         new_ts = TrainState(
             params=params, opt_state=opt_state, env_states=env_states,
             last_obs=last_obs, key=key,
+            update_i=None if ts.update_i is None else ts.update_i + 1,
         )
         return new_ts, metrics
 

@@ -143,3 +143,16 @@ class FeatureVectorObservation(gym.ObservationWrapper, gym.utils.RecordConstruct
         """
         board = jnp.asarray(self.env.unwrapped.state.board)
         return np.asarray(self._features(board), dtype=self.observation_space.dtype)
+
+    def features_of_board(self, board) -> np.ndarray:
+        """Feature vector of an explicit padded board (no active piece).
+
+        The per-candidate path of the grouped wrapper: the reference applies
+        this wrapper to each rebuilt candidate Dict obs, whose board carries
+        no active piece (ref: grouped.py:183-206 feeding
+        wrappers/observation.py:226-266) — so features come straight from the
+        given board, not the live env state.
+        """
+        return np.asarray(
+            self._features(jnp.asarray(board)), dtype=self.observation_space.dtype
+        )
