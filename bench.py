@@ -148,6 +148,52 @@ def bench_actor_feed(config: EngineConfig, n_envs: int, horizon: int, repeats: i
     return n_envs * horizon * repeats / elapsed
 
 
+def bench_rgb84_chain(config: EngineConfig, n_envs: int, horizon: int, repeats: int):
+    """The reference CNN workload's EXACT preprocessing chain + Q-net + step:
+    Dict obs -> RGB composite -> 84x84 INTER_AREA resize -> grayscale ->
+    AtariQNetwork greedy action -> flagship step, fused per iteration
+    (ref: examples/train_cnn.py:127-168; kernels: ops/image.py).  The
+    reference computes this per env on host with cv2/gymnasium wrappers.
+    """
+    from tetris_gymnasium_tpu.core import engine
+    from tetris_gymnasium_tpu.models import AtariQNetwork
+    from tetris_gymnasium_tpu.ops import image
+
+    net = AtariQNetwork()
+    keys = batch_keys(jax.random.PRNGKey(9), n_envs)
+    states, _ = engine.batched_reset(keys, config=config, obs="board")
+    render = jax.vmap(functools.partial(engine.render_rgb, config=config))
+    frames0 = image.preprocess_rgb84(render(states))
+    params = net.init(jax.random.PRNGKey(10), frames0[:2])
+
+    def rollout(states, params):
+        def one(carry, _):
+            s, tot_d = carry
+            frames = image.preprocess_rgb84(render(s))
+            q = net.apply(params, frames)
+            a = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            s2, _, _, d, _ = jax.vmap(
+                functools.partial(engine.step, config=config, obs_fn=lambda *_: ())
+            )(s, a)
+            return (s2, tot_d + jnp.sum(d)), None
+
+        (final, tot_d), _ = jax.lax.scan(
+            one, (states, jnp.int32(0)), None, length=horizon
+        )
+        return final, tot_d
+
+    rollout = jax.jit(rollout, donate_argnums=(0,))
+    states, tot_d = rollout(states, params)
+    int(tot_d)
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        states, tot_d = rollout(states, params)
+    int(tot_d)  # fence INSIDE the timed window (dispatch is async)
+    elapsed = time.perf_counter() - t0
+    return n_envs * horizon * repeats / elapsed
+
+
 def bench_rgb_actor(config: EngineConfig, n_envs: int, horizon: int, repeats: int):
     """RGB/composite observation at training scale: vmapped Dict observation
     + fused RGB compositing (``engine.render_rgb`` = observe_dict +
@@ -346,6 +392,10 @@ def main():
             (
                 "rgb_actor_steps_per_sec",
                 lambda: bench_rgb_actor(config, 8192, 32, max(repeats // 2, 1)),
+            ),
+            (
+                "rgb84_chain_steps_per_sec",
+                lambda: bench_rgb84_chain(config, 4096, 32, max(repeats // 2, 1)),
             ),
             (
                 "grouped_placements_per_sec",

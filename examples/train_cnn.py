@@ -46,6 +46,15 @@ def main():
         "stores single frames — stacks rebuild at sample time)",
     )
     p.add_argument(
+        "--obs",
+        choices=("board", "rgb84"),
+        default="board",
+        help="observation: the native board (fastest), or the reference "
+        "workload's exact chain RGB->resize(84x84)->grayscale fused on "
+        "device (ref: train_cnn.py:127-147; forces the flagship engine and "
+        "the reference's Atari Q-net)",
+    )
+    p.add_argument(
         "--eval-every",
         type=int,
         default=0,
@@ -80,7 +89,15 @@ def main():
         learning_starts=args.learning_starts,
         frame_stack=args.frame_stack,
     )
-    net = QNetworkCNN()
+    if args.obs == "rgb84":
+        from tetris_gymnasium_tpu.models import AtariQNetwork
+
+        if args.impl != "flagship":
+            print("obs=rgb84 needs id boards; switching --impl to flagship")
+            args.impl = "flagship"
+        net = AtariQNetwork()
+    else:
+        net = QNetworkCNN()
 
     # jit the init: eagerly it dispatches hundreds of tiny ops, which is
     # painfully slow on remote-attached accelerators
@@ -92,9 +109,10 @@ def main():
             cfg=cfg,
             net=net,
             impl=args.impl,
+            obs=args.obs,
         )
     )(jax.random.PRNGKey(args.seed))
-    train_step = dqn.make_train_step(env_config, cfg, net, impl=args.impl)
+    train_step = dqn.make_train_step(env_config, cfg, net, impl=args.impl, obs=args.obs)
 
     @jax.jit
     def train_chunk(ts):
@@ -117,6 +135,9 @@ def main():
     tracker = Tracker(args.wandb, args.wandb_project, args.run_name, vars(args))
 
     def capture_video(step_i):
+        if args.obs == "rgb84":
+            print("(--video-every is board-policy only; skipped for rgb84)")
+            return
         from tetris_gymnasium_tpu.utils import video
 
         base = os.path.splitext(args.log_json)[0] if args.log_json else "results/dqn"
@@ -131,6 +152,7 @@ def main():
         ev = evaluate.evaluate_q_checkpoint(
             net, params, args.eval_episodes, env_config,
             seed=seed, impl=args.impl, frame_stack=args.frame_stack,
+            obs=args.obs,
         )
         return {
             "eval_return": round(ev["return_mean"], 3),

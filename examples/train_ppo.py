@@ -53,6 +53,13 @@ def main():
     )
     p.add_argument("--eval-max-steps", type=int, default=2000)
     p.add_argument(
+        "--net",
+        choices=("default", "fullres"),
+        default="default",
+        help="actor-critic trunk: default (strided 32-64-128) or fullres "
+        "(stride-1 convs, no downsampling — placement precision)",
+    )
+    p.add_argument(
         "--save-params", type=str, default=None,
         help="save final actor-critic params here (utils.checkpoint)",
     )
@@ -93,7 +100,10 @@ def main():
         total_iterations=args.iterations if args.anneal else 0,
     )
     rewards = RewardsMapping(alife=args.alife, game_over=args.game_over_reward)
-    net = ActorCriticCNN()
+    if args.net == "fullres":
+        net = ActorCriticCNN(strides=((1, 1), (1, 1), (1, 1)))
+    else:
+        net = ActorCriticCNN()
 
     # jit the init: eagerly it dispatches hundreds of tiny ops, which is
     # painfully slow on remote-attached accelerators

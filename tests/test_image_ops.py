@@ -1,0 +1,121 @@
+"""Device image kernels vs the reference chain's host implementations.
+
+The reference trains its CNN on RgbObservation -> Resize(84,84) ->
+Grayscale -> FrameStack(4) via cv2/gymnasium host wrappers
+(ref: examples/train_cnn.py:127-147).  ops/image.py re-implements resize and
+grayscale as device kernels; these tests pin them against the actual host
+libraries: cv2 INTER_AREA within +/-1 (cv2's last bit is SIMD-build-defined,
+see ops/image.py docstring) and gymnasium grayscale BIT-exact.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tetris_gymnasium_tpu.ops import image
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.mark.parametrize("shape", [(24, 34), (20, 10), (24, 34, 3), (12, 73, 3)])
+def test_resize_matches_cv2_within_1(shape):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    want = cv2.resize(img, (84, 84), interpolation=cv2.INTER_AREA)
+    got = np.asarray(jax.jit(
+        lambda x: image.resize_area_zoom(x, 84, 84)
+    )(jnp.asarray(img)))
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}"
+    # the scalar-rounding deviation is rare, not systematic
+    assert (diff > 0).mean() < 0.2
+
+
+def test_resize_batched_consistent():
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 256, (5, 24, 34, 3), dtype=np.uint8)
+    batched = np.asarray(image.resize_area_zoom(jnp.asarray(imgs), 84, 84))
+    for i in range(5):
+        single = np.asarray(image.resize_area_zoom(jnp.asarray(imgs[i]), 84, 84))
+        assert np.array_equal(batched[i], single)
+
+
+def test_resize_integer_zoom_is_replication():
+    """Integer enlargement under INTER_AREA replicates pixels exactly."""
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (21, 21), dtype=np.uint8)
+    got = np.asarray(image.resize_area_zoom(jnp.asarray(img), 84, 84))
+    want = np.kron(img, np.ones((4, 4), dtype=np.uint8))
+    assert np.array_equal(got, want)
+
+
+def test_resize_rejects_shrink():
+    with pytest.raises(ValueError, match="enlarges"):
+        image.resize_area_zoom(jnp.zeros((100, 100), jnp.uint8), 84, 84)
+
+
+def test_grayscale_matches_gymnasium_formula():
+    """gymnasium computes sum(rgb*w) in float64 then casts; the kernel agrees
+    bit-for-bit on random batches (the only known deviations are the 164
+    intermediate-double-rounding triples, 10 ppm — see ops/image.py)."""
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 255, 255)
+    rgb[0, 1] = (0, 0, 0)
+    want = np.sum(
+        np.multiply(rgb, np.array([0.2125, 0.7154, 0.0721])), axis=-1
+    ).astype(np.uint8)
+    got = np.asarray(jax.jit(image.grayscale_u8)(jnp.asarray(rgb)))
+    assert np.array_equal(got, want)
+
+
+def test_grayscale_exhaustive_r_slice():
+    """All (g, b) pairs at several r values — 262k triples: at most 1 off,
+    and only on the documented double-rounding knife edges (<= a handful)."""
+    g, b = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    total_off = 0
+    for r in (0, 17, 128, 255):
+        rgb = np.stack([np.full_like(g, r), g, b], axis=-1).astype(np.uint8)
+        want = np.sum(
+            np.multiply(rgb, np.array([0.2125, 0.7154, 0.0721])), axis=-1
+        ).astype(np.uint8)
+        got = np.asarray(image.grayscale_u8(jnp.asarray(rgb)))
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1, f"r={r}"
+        total_off += int((diff > 0).sum())
+    assert total_off <= 8, f"{total_off} deviations — more than double-rounding explains"
+
+
+def test_full_chain_vs_host_wrappers():
+    """compose_rgb -> resize -> grayscale on device == the host wrapper chain
+    RgbObservation -> ResizeObservation -> GrayscaleObservation on the same
+    env state (ref: examples/train_cnn.py:138-141), within the documented
+    +/-1 resize tolerance."""
+    import gymnasium as gym
+
+    import tetris_gymnasium_tpu.envs  # noqa: F401
+    from tetris_gymnasium_tpu.wrappers import RgbObservation
+
+    env = gym.make("tetris_gymnasium_tpu/Tetris")
+    wrapped = RgbObservation(env)
+    wrapped = gym.wrappers.ResizeObservation(wrapped, (84, 84))
+    wrapped = gym.wrappers.GrayscaleObservation(wrapped)
+    obs, _ = wrapped.reset(seed=7)
+    for _ in range(3):
+        obs, *_ = wrapped.step(wrapped.action_space.sample())
+    assert obs.shape == (84, 84) and obs.dtype == np.uint8
+
+    # device chain on the same state
+    from tetris_gymnasium_tpu.core import engine
+    from tetris_gymnasium_tpu.ops.observations import compose_rgb
+    from tetris_gymnasium_tpu.pieces import PIECES
+
+    state = env.unwrapped.state
+    d = engine.observe_dict(state, env.unwrapped.config)
+    rgb = compose_rgb(d["board"], d["queue"], d["holder"], PIECES)
+    got = np.asarray(image.preprocess_rgb84(rgb))
+    diff = np.abs(got.astype(int) - obs.astype(int))
+    assert diff.max() <= 1
+    env.close()

@@ -264,3 +264,41 @@ def test_grouped_dqn_boards_mode_one_step():
     ts, m = step(ts)
     assert jnp.isfinite(m["loss"]).item()
     assert ts.obs.shape == (8, 24, 8, 6)
+
+
+def test_dqn_rgb84_obs_train_step():
+    """obs='rgb84': DQN trains on the reference chain's 84x84 grayscale
+    frames (ref: train_cnn.py:127-147) — runs, stores uint8 frames, updates."""
+    from tetris_gymnasium_tpu.models import AtariQNetwork
+
+    env_config = EngineConfig(auto_reset=True)
+    cfg = dqn.DQNConfig(
+        buffer_size=64, batch_size=4, learning_starts=0, frame_stack=4
+    )
+    net = AtariQNetwork()
+    ds = dqn.init_dqn_state(
+        jax.random.PRNGKey(0), 8, env_config, cfg, net, obs="rgb84"
+    )
+    assert ds.buffer.data["obs"].dtype == jnp.uint8
+    assert ds.buffer.data["obs"].shape[-2:] == (84, 84)
+    assert ds.obs.shape == (8, 4, 84, 84)
+    step = jax.jit(dqn.make_train_step(env_config, cfg, net, obs="rgb84"))
+    ds1 = ds
+    for _ in range(4):  # learning gates on step >= frame_stack
+        ds1, _ = step(ds1)
+    ds2, metrics = step(ds1)
+    assert np.isfinite(float(metrics["loss"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        ds1.params, ds2.params,
+    )
+    assert any(jax.tree.leaves(changed))
+
+
+def test_rgb84_env_fns_guards():
+    from tetris_gymnasium_tpu.rl.engines import env_fns
+
+    with pytest.raises(ValueError, match="flagship"):
+        env_fns(EngineConfig(), "turbo", obs="rgb84")
+    with pytest.raises(ValueError, match="observation kind"):
+        env_fns(EngineConfig(), "flagship", obs="nope")

@@ -33,6 +33,11 @@ class BoardEncoder(nn.Module):
     """
 
     features: Sequence[int] = (32, 64, 128)
+    # One (sy, sx) per conv layer; None = the default plan (2,1) then (2,2)s.
+    # Stride-1 plans keep the full 20x10 resolution through the trunk — at
+    # this board size the convs stay tiny on the MXU, and placement precision
+    # benefits from not downsampling.
+    strides: object = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -42,7 +47,10 @@ class BoardEncoder(nn.Module):
         else:
             x = boards.astype(self.dtype)[..., None]  # [B, H, W, 1]
         for i, feat in enumerate(self.features):
-            stride = (2, 1) if i == 0 else (2, 2)
+            if self.strides is None:
+                stride = (2, 1) if i == 0 else (2, 2)
+            else:
+                stride = tuple(self.strides[i])
             x = nn.Conv(feat, kernel_size=(3, 3), strides=stride, dtype=self.dtype)(x)
             x = nn.relu(x)
         x = x.reshape((x.shape[0], -1))
@@ -65,6 +73,38 @@ class QNetworkCNN(nn.Module):
         return nn.Dense(self.n_actions, dtype=jnp.float32)(h)
 
 
+class AtariQNetwork(nn.Module):
+    """The reference CNN workload's exact Q-net for 84x84 grayscale frames.
+
+    Architecture parity with the reference's Atari network
+    (ref: examples/train_cnn.py:151-168): conv 32@8x8/4 -> 64@4x4/2 ->
+    64@3x3/1 -> dense 512 -> Q head, inputs normalized by /255
+    (ref: train_cnn.py:168).  Compute in bfloat16 with a float32 head, the
+    TPU mixed-precision recipe.  Input ``[B, K, 84, 84]`` (FrameStack K as
+    channels) or ``[B, 84, 84]`` uint8.
+    """
+
+    n_actions: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray) -> jnp.ndarray:
+        if frames.ndim == 4:  # [B, K, H, W] -> channels-last
+            x = jnp.moveaxis(frames.astype(self.dtype), 1, -1)
+        else:
+            x = frames.astype(self.dtype)[..., None]
+        x = x / jnp.asarray(255.0, self.dtype)
+        for feat, k, s in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
+            x = nn.Conv(
+                feat, kernel_size=(k, k), strides=(s, s), padding="VALID",
+                dtype=self.dtype,
+            )(x)
+            x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.relu(nn.Dense(512, dtype=self.dtype)(x))
+        return nn.Dense(self.n_actions, dtype=jnp.float32)(x)
+
+
 class ActorCriticCNN(nn.Module):
     """PPO actor-critic with a shared conv trunk.
 
@@ -73,11 +113,15 @@ class ActorCriticCNN(nn.Module):
     """
 
     n_actions: int = 8
+    features: Sequence[int] = (32, 64, 128)
+    strides: object = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, boards: jnp.ndarray):
-        h = BoardEncoder(dtype=self.dtype)(boards)
+        h = BoardEncoder(
+            features=self.features, strides=self.strides, dtype=self.dtype
+        )(boards)
         logits = nn.Dense(
             self.n_actions,
             dtype=jnp.float32,

@@ -69,9 +69,15 @@ def init_dqn_state(
     cfg: DQNConfig,
     net: QNetworkCNN = QNetworkCNN(),
     impl: str = "flagship",
+    obs: str = "board",
 ) -> DQNState:
-    """Fresh networks, empty buffer, fresh env batch (engine per ``impl``)."""
-    env_init, _, env_observe = _env_fns(env_config, impl)
+    """Fresh networks, empty buffer, fresh env batch (engine per ``impl``).
+
+    ``obs="rgb84"`` trains on the reference workload's exact preprocessing
+    chain (RGB composite -> 84x84 resize -> grayscale, uint8 frames; see
+    rl/engines.py) — pair it with ``models.AtariQNetwork``.
+    """
+    env_init, _, env_observe = _env_fns(env_config, impl, obs=obs)
     key, net_key, env_key = jax.random.split(key, 3)
     env_keys = jax.vmap(lambda i: jax.random.fold_in(env_key, i))(
         jnp.arange(n_envs, dtype=jnp.uint32)
@@ -106,6 +112,7 @@ def init_dqn_state(
 def make_train_step(
     env_config: EngineConfig, cfg: DQNConfig, net: QNetworkCNN,
     impl: str = "flagship",
+    obs: str = "board",
 ):
     """Build the jitted DQN step: act -> env step -> buffer add -> TD update.
 
@@ -114,7 +121,7 @@ def make_train_step(
     ``impl`` picks the rollout engine (see rl/engines.py); the DQNState must
     come from :func:`init_dqn_state` with the same ``impl``.
     """
-    _, env_step_b, observe_b = _env_fns(env_config, impl)
+    _, env_step_b, observe_b = _env_fns(env_config, impl, obs=obs)
     optimizer = optax.adam(cfg.learning_rate)
 
     def td_loss(params, target_params, batch, next_batch):

@@ -20,12 +20,14 @@ import jax
 
 from tetris_gymnasium_tpu.config import EngineConfig, RewardsMapping
 from tetris_gymnasium_tpu.core import engine, turbo
+from tetris_gymnasium_tpu.ops import image
 
 
 def env_fns(
     env_config: EngineConfig,
     impl: str,
     rewards: Optional[RewardsMapping] = None,
+    obs: str = "board",
 ) -> Tuple[Callable, Callable, Callable]:
     """(init, step, observe) batched over the env axis for the chosen engine.
 
@@ -33,7 +35,24 @@ def env_fns(
     shaping surface the reference exposes via its ``rewards_mapping``
     constructor kwarg (ref: envs/tetris.py:84, mappings/rewards.py:5-15);
     None keeps the engines' defaults.
+
+    ``obs`` selects the observation the policy trains on:
+
+    * ``"board"`` — the native ``int8 [B, H, W]`` board (stack 1, active -1).
+    * ``"rgb84"`` — the reference CNN workload's exact preprocessing chain,
+      fused on device: Dict obs -> RGB composite -> 84x84 INTER_AREA resize
+      -> grayscale, ``uint8 [B, 84, 84]``
+      (ref: examples/train_cnn.py:127-147; kernels in ops/image.py).
+      Flagship engine only — the turbo engine's bit-packed rows carry no
+      cell ids to colorize.
     """
+    if obs not in ("board", "rgb84"):
+        raise ValueError(f"unknown observation kind: {obs!r}")
+    if obs == "rgb84" and impl != "flagship":
+        raise ValueError(
+            "obs='rgb84' needs the flagship engine (id boards for the RGB "
+            "palette); the turbo engine stores binary rows only"
+        )
     rkw = {} if rewards is None else {"rewards": rewards}
     if impl == "turbo":
         init = functools.partial(turbo.init, config=env_config)
@@ -48,5 +67,12 @@ def env_fns(
             engine.step, config=env_config, obs_fn=lambda s, c, p: (), **rkw
         )
     )
-    observe = jax.vmap(functools.partial(engine.observe_board, config=env_config))
+    if obs == "rgb84":
+        render = jax.vmap(functools.partial(engine.render_rgb, config=env_config))
+
+        def observe(states):
+            return image.preprocess_rgb84(render(states))
+
+    else:
+        observe = jax.vmap(functools.partial(engine.observe_board, config=env_config))
     return init, step, observe

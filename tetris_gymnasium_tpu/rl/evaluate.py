@@ -61,6 +61,7 @@ def evaluate_policy(
     impl: str = "turbo",
     max_steps: int = 2000,
     frame_stack: int = 1,
+    obs: str = "board",
 ) -> dict:
     """Greedy-rollout statistics of ``act`` over ``n_episodes`` fresh games.
 
@@ -71,7 +72,7 @@ def evaluate_policy(
     wrap in ``jax.jit`` once and reuse (act must be closure-jittable).
     """
     cfg = env_config._replace(auto_reset=False)
-    init, step_b, observe = env_fns(cfg, impl)
+    init, step_b, observe = env_fns(cfg, impl, obs=obs)
     states = init(batch_keys(key, n_episodes))
     stack0 = (
         framestack.init(observe(states), frame_stack) if frame_stack > 1 else None
@@ -148,11 +149,13 @@ def greedy_masked_q(net, params) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.nda
 
 
 @functools.partial(jax.jit, static_argnames=("net", "n_episodes", "env_config",
-                                             "impl", "max_steps", "frame_stack"))
-def _jit_eval_q(net, params, n_episodes, env_config, key, impl, max_steps, frame_stack):
+                                             "impl", "max_steps", "frame_stack",
+                                             "obs"))
+def _jit_eval_q(net, params, n_episodes, env_config, key, impl, max_steps,
+                frame_stack, obs="board"):
     return evaluate_policy(
         greedy_q(net, params), n_episodes, env_config, key,
-        impl=impl, max_steps=max_steps, frame_stack=frame_stack,
+        impl=impl, max_steps=max_steps, frame_stack=frame_stack, obs=obs,
     )
 
 
@@ -165,10 +168,11 @@ def evaluate_q_checkpoint(
     impl: str = "turbo",
     max_steps: int = 2000,
     frame_stack: int = 1,
+    obs: str = "board",
 ) -> dict:
     """Host-friendly wrapper: evaluate a Q-net checkpoint, return floats."""
     out = _jit_eval_q(
         net, params, n_episodes, env_config, jax.random.PRNGKey(seed),
-        impl, max_steps, frame_stack,
+        impl, max_steps, frame_stack, obs,
     )
     return {k: float(v) for k, v in jax.device_get(out).items()}

@@ -123,6 +123,15 @@ def readme_block(n: int, parsed: dict, history: dict, is_local: bool = False) ->
         f"| RGB/composite observation pipeline (vmapped Dict obs + fused RGB, 8192 envs)"
         f" | **{fmt(ex.get('rgb_actor_steps_per_sec'))} env-steps/s** | the reference"
         " computes this per env on host (wrappers/observation.py:38-74) |",
+    ]
+    if "rgb84_chain_steps_per_sec" in ex:
+        rows.append(
+            "| Reference CNN chain (RGB → 84×84 resize → grayscale → Atari Q-net"
+            f" → step, 4096 envs) | **{fmt(ex['rgb84_chain_steps_per_sec'])}"
+            " env-steps/s** | the reference's exact preprocessing"
+            " (train_cnn.py:127-168) as fused device kernels (ops/image.py) |"
+        )
+    rows += [
         "",
         f"Numbers are {source_label(n, is_local)}; headline statistic:"
         f" {stat}; run-to-run spread ~±10-15%). Headline history: "
@@ -155,6 +164,12 @@ def bench_doc_block(n: int, parsed: dict, is_local: bool = False) -> str:
         f"| 6 | RGB/composite observation pipeline, 8192 envs |"
         f" {fmt(ex.get('rgb_actor_steps_per_sec'))} steps/s |",
     ]
+    if "rgb84_chain_steps_per_sec" in ex:
+        rows.append(
+            "| 7 | Reference CNN chain: RGB → resize(84×84) → grayscale → Atari"
+            " Q-net → step, 4096 envs |"
+            f" {fmt(ex['rgb84_chain_steps_per_sec'])} steps/s |"
+        )
     return "\n".join(rows)
 
 
