@@ -262,3 +262,66 @@ def test_flagship_plays_oversize_custom_piece_set():
             steps += 1
         assert bool(state.game_over) and steps > 5, f"width {width}"
         assert obs.shape == (16, width)
+
+
+def test_turbo_plays_oversize_custom_piece_set():
+    """Turbo == flagship, field for field, on a 6x6-box custom piece set —
+    the multi-word piece-table packing (round-4 review missing #3 closed):
+    piece row masks straddle uint32 boundaries in the packed table and
+    unpack with static split shifts.  Narrow (single-word rows) AND wide
+    (multi-word rows) boards."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from tetris_gymnasium_tpu.components.tetromino import pieces_from_tetrominoes
+    from tetris_gymnasium_tpu.config import EngineConfig
+    from tetris_gymnasium_tpu.core import engine, turbo
+    from tetris_gymnasium_tpu.parallel.mesh import batch_keys
+
+    tets = [
+        Tetromino(2, (255, 0, 0), np.array([[1, 1], [1, 1]], np.uint8)),
+        Tetromino(3, (0, 255, 0), np.ones((1, 6), np.uint8)),  # 6-wide I
+        Tetromino(4, (0, 0, 255), np.array([[0, 1, 0], [1, 1, 1], [0, 0, 0]], np.uint8)),
+    ]
+    pieces, pad = pieces_from_tetrominoes(tets)
+    assert int(pieces.box.max()) == 6  # beyond the old one-word envelope
+    assert turbo._tables_for(pieces).n_words == 2  # 36 bits -> two words
+
+    rng = np.random.default_rng(1)
+    B, T = 8, 150
+    for width in (10, 40):
+        cfg = EngineConfig(
+            width=width, height=14, padding=pad, queue_size=2,
+            auto_reset=True, queue_kind="uniform",
+        )
+        keys = batch_keys(jax.random.PRNGKey(4), B)
+        es = jax.jit(jax.vmap(functools.partial(
+            engine.init_state, config=cfg, pieces=pieces)))(keys)
+        ts = turbo.init(keys, cfg, pieces=pieces)
+        f_step = jax.jit(jax.vmap(functools.partial(
+            engine.step, config=cfg, pieces=pieces, obs_fn=lambda s, c, p: ())))
+        t_step = jax.jit(functools.partial(turbo.step, config=cfg, pieces=pieces))
+        f_obs = jax.jit(jax.vmap(functools.partial(
+            engine.observe_board, config=cfg, pieces=pieces)))
+        t_obs = jax.jit(functools.partial(turbo.observe_board, config=cfg, pieces=pieces))
+
+        deaths = 0
+        for i in range(T):
+            acts = jnp.asarray(rng.integers(0, 8, size=B), dtype=jnp.int32)
+            es, _, er, ed, einfo = f_step(es, acts)
+            ts, _, tr, td, tinfo = t_step(ts, acts)
+            ctx = f"w={width} step {i}"
+            np.testing.assert_array_equal(
+                np.asarray(t_obs(ts)), np.asarray(f_obs(es)), err_msg=f"board {ctx}")
+            np.testing.assert_allclose(
+                np.asarray(tr), np.asarray(er), err_msg=f"reward {ctx}")
+            np.testing.assert_array_equal(
+                np.asarray(td), np.asarray(ed), err_msg=f"done {ctx}")
+            for name in ("piece", "rotation", "x", "y", "game_over", "lines"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ts, name)), np.asarray(getattr(es, name)),
+                    err_msg=f"{name} {ctx}")
+            deaths += int(np.asarray(ed).sum())
+        assert deaths > 0, "oversize fuzz must cross auto-reset boundaries"

@@ -133,3 +133,32 @@ def test_third_party_style_loop_runs():
         if "episode" in infos:
             episodes += int(np.sum(infos["_episode"]))
     assert episodes > 0, "no episodes completed through the wrapper stack"
+
+
+def test_vector_env_oversize_pieces_on_turbo():
+    """TetrisVectorEnv(impl='turbo') plays a 6x6-box custom set — the turbo
+    entry point that used to raise NotImplementedError (round-4 missing #3);
+    multi-word piece tables carry it now."""
+    from tetris_gymnasium_tpu.components.tetromino import Tetromino
+
+    tets = [
+        Tetromino(2, (255, 0, 0), np.array([[1, 1], [1, 1]], np.uint8)),
+        Tetromino(3, (0, 255, 0), np.ones((1, 6), np.uint8)),
+        Tetromino(4, (0, 0, 255), np.array(
+            [[0, 1, 0], [1, 1, 1], [0, 0, 0]], np.uint8)),
+    ]
+    env = TetrisVectorEnv(
+        8,
+        EngineConfig(width=8, height=12, queue_size=2, queue_kind="uniform"),
+        impl="turbo",
+        tetrominoes=tets,
+    )
+    obs, _ = env.reset(seed=0)
+    assert obs.shape == (8, 12, 8)
+    rng = np.random.default_rng(0)
+    deaths = 0
+    for _ in range(200):
+        obs, r, term, trunc, infos = env.step(rng.integers(0, 8, size=8))
+        deaths += int(term.sum())
+    assert deaths > 0  # auto-reset restarts crossed
+    env.close()

@@ -100,10 +100,12 @@ class TurboState:
 class _Tables(NamedTuple):
     """Host-side constant tables closed over by the jitted step."""
 
-    packed: np.ndarray  # uint32[n*4] piece row-bits packed S per entry
+    packed: np.ndarray  # uint32[n*4, NW] piece row-bits, S bits per row,
+    #   packed contiguously across NW words (NW=1 for the default pieces)
     box: np.ndarray  # int32[n]
-    size: int  # piece box side S (rows per piece, bits per packed field)
+    size: int  # piece box side S (rows per piece, bits per packed row)
     n_pieces: int
+    n_words: int  # NW = ceil(S*S / 32)
 
 
 _TABLES_CACHE: dict = {}
@@ -118,19 +120,30 @@ def _tables_for(pieces: PieceSet) -> _Tables:
         return hit
     rtab = bb.row_bits_table(pieces)  # uint32 [n, 4, S]
     n, _, size = rtab.shape
-    if size * size > 32:
+    if size > 32:
         raise NotImplementedError(
-            f"turbo engine packs a piece's {size} row masks ({size} bits each) "
-            "into one uint32; piece boxes larger than 5x5 need the flagship "
-            "engine"
+            f"piece box side {size} exceeds one 32-bit row mask; no Tetris "
+            "variant needs pieces wider than 32 columns"
         )
-    shifts = (np.arange(size, dtype=np.uint32) * size)[None, None, :]
-    packed = np.sum(rtab.astype(np.uint64) << shifts, axis=-1).astype(np.uint32)
+    # Pack the S rows (S bits each) contiguously across ceil(S*S/32) words.
+    # The default 4x4 set fits one word (the round-3 single-word layout,
+    # byte-identical here); oversize custom sets — the reference accepts any
+    # Tetromino matrix (ref: envs/tetris.py:110-134) — straddle word
+    # boundaries with static split shifts, the ops/bitboard_wide.py recipe.
+    n_words = (size * size + 31) // 32
+    flat = rtab.reshape(n * 4, size).astype(np.uint64)
+    packed = np.zeros((n * 4, n_words), dtype=np.uint64)
+    for s in range(size):
+        w0, r = divmod(s * size, 32)
+        packed[:, w0] |= (flat[:, s] << np.uint64(r)) & np.uint64(0xFFFFFFFF)
+        if r + size > 32:
+            packed[:, w0 + 1] |= flat[:, s] >> np.uint64(32 - r)
     t = _Tables(
-        packed=packed.reshape(-1),  # [n*4]
+        packed=packed.astype(np.uint32),  # [n*4, NW]
         box=np.asarray(pieces.box, dtype=np.int32),
         size=size,
         n_pieces=n,
+        n_words=n_words,
     )
     _TABLES_CACHE[ck] = t
     return t
@@ -155,24 +168,38 @@ def _row_bits(t: _Tables, piece: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndar
     the flagship's 112 (it selects each of the 4 rows separately).
     """
     idx = piece * 4 + rotation  # [B]
-    packed = jnp.zeros_like(idx, dtype=jnp.uint32)
-    for k in range(t.packed.shape[0]):
-        packed = jnp.where(idx == k, jnp.uint32(t.packed[k]), packed)
-    mask = jnp.uint32((1 << t.size) - 1)
-    return jnp.stack(
-        [(packed >> jnp.uint32(s * t.size)) & mask for s in range(t.size)]
-    )  # [S, B]
+    words = []
+    for w in range(t.n_words):
+        pw = jnp.zeros_like(idx, dtype=jnp.uint32)
+        for k in range(t.packed.shape[0]):
+            pw = jnp.where(idx == k, jnp.uint32(t.packed[k, w]), pw)
+        words.append(pw)
+    return _unpack_rows(t, words)  # [S, B]
+
+
+def _unpack_rows(t: _Tables, words) -> jnp.ndarray:
+    """Static unpack shifts: row ``s`` occupies bits [s*S, (s+1)*S) of the
+    packed words; straddling rows combine two words with guarded shifts."""
+    mask = jnp.uint32((1 << t.size) - 1) if t.size < 32 else jnp.uint32(0xFFFFFFFF)
+    rows = []
+    for s in range(t.size):
+        w0, r = divmod(s * t.size, 32)
+        v = words[w0] >> jnp.uint32(r)
+        if r and r + t.size > 32:
+            v = v | (words[w0 + 1] << jnp.uint32(32 - r))
+        rows.append(v & mask)
+    return jnp.stack(rows)
 
 
 def _row_bits_spawn(t: _Tables, piece: jnp.ndarray) -> jnp.ndarray:
     """Row masks at rotation 0 only (spawn collision check): n selects."""
-    packed = jnp.zeros_like(piece, dtype=jnp.uint32)
-    for p in range(t.n_pieces):
-        packed = jnp.where(piece == p, jnp.uint32(t.packed[p * 4]), packed)
-    mask = jnp.uint32((1 << t.size) - 1)
-    return jnp.stack(
-        [(packed >> jnp.uint32(s * t.size)) & mask for s in range(t.size)]
-    )
+    words = []
+    for w in range(t.n_words):
+        pw = jnp.zeros_like(piece, dtype=jnp.uint32)
+        for p in range(t.n_pieces):
+            pw = jnp.where(piece == p, jnp.uint32(t.packed[p * 4, w]), pw)
+        words.append(pw)
+    return _unpack_rows(t, words)
 
 
 def _shift(rb: jnp.ndarray, x: jnp.ndarray, width: int) -> jnp.ndarray:

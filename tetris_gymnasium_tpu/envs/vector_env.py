@@ -35,8 +35,10 @@ from tetris_gymnasium_tpu.parallel.mesh import batch_keys
 from tetris_gymnasium_tpu.rl.engines import env_fns
 
 
-@functools.lru_cache(maxsize=None)
-def _programs(config: EngineConfig, impl: str, num_envs: int):
+_PROGRAMS_CACHE: dict = {}
+
+
+def _programs(config: EngineConfig, impl: str, num_envs: int, pieces=None):
     """(reset, step) jitted batched programs for the chosen engine.
 
     ``reset(base_key, epoch) -> (states, obs)``;
@@ -48,7 +50,14 @@ def _programs(config: EngineConfig, impl: str, num_envs: int):
     index — the framework key discipline), so the host uploads one fixed
     key and a uint32 epoch per step, not a ``[B, 2]`` key array.
     """
-    init, step, observe = env_fns(config, impl)
+    ck = (
+        config, impl, num_envs,
+        None if pieces is None else (pieces.matrices.tobytes(), pieces.box.tobytes()),
+    )
+    hit = _PROGRAMS_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    init, step, observe = env_fns(config, impl, pieces=pieces)
 
     def keys_for(base_key, epoch):
         # the framework key discipline (mesh.batch_keys), traced in-jit
@@ -83,7 +92,9 @@ def _programs(config: EngineConfig, impl: str, num_envs: int):
         obs3 = observe(states3)
         return states3, obs3, reward, done, final_obs, info["lines_cleared"]
 
-    return jax.jit(reset_fn), jax.jit(step_fn, donate_argnums=(0,))
+    out = (jax.jit(reset_fn), jax.jit(step_fn, donate_argnums=(0,)))
+    _PROGRAMS_CACHE[ck] = out
+    return out
 
 
 class _KeyEpochs:
@@ -115,6 +126,11 @@ class TetrisVectorEnv(VectorEnv):
         impl: ``"turbo"`` (bit-packed hot path) or ``"flagship"``.
         seed: base seed for the per-env PRNG streams (fold_in on global
             env index, reproducible on any backend).
+        tetrominoes: optional custom piece list (``components.Tetromino``),
+            any matrix size — the OOP shell's ``tetrominoes`` kwarg
+            (ref: envs/tetris.py:77-134); oversize boxes (>5x5) run on the
+            turbo engine via its multi-word piece tables.  Overrides
+            ``config.padding`` with the set's required padding.
     """
 
     metadata = {"autoreset_mode": AutoresetMode.SAME_STEP, "render_modes": []}
@@ -125,13 +141,24 @@ class TetrisVectorEnv(VectorEnv):
         config: EngineConfig = EngineConfig(),
         impl: str = "turbo",
         seed: int = 0,
+        tetrominoes=None,
     ):
         config = config._replace(auto_reset=False)
+        self._pieces = None
+        if tetrominoes is not None:
+            from tetris_gymnasium_tpu.components.tetromino import (
+                pieces_from_tetrominoes,
+            )
+
+            self._pieces, pad = pieces_from_tetrominoes(tetrominoes)
+            config = config._replace(padding=pad)
         self.num_envs = int(num_envs)
         self.config = config
         self.impl = impl
         self._keys = _KeyEpochs(seed)
-        self._reset_fn, self._step_fn = _programs(config, impl, self.num_envs)
+        self._reset_fn, self._step_fn = _programs(
+            config, impl, self.num_envs, self._pieces
+        )
         self._states = None
 
         H, W = config.height, config.width

@@ -28,6 +28,7 @@ def env_fns(
     impl: str,
     rewards: Optional[RewardsMapping] = None,
     obs: str = "board",
+    pieces=None,
 ) -> Tuple[Callable, Callable, Callable]:
     """(init, step, observe) batched over the env axis for the chosen engine.
 
@@ -54,25 +55,30 @@ def env_fns(
             "palette); the turbo engine stores binary rows only"
         )
     rkw = {} if rewards is None else {"rewards": rewards}
+    pkw = {} if pieces is None else {"pieces": pieces}
     if impl == "turbo":
-        init = functools.partial(turbo.init, config=env_config)
-        step = functools.partial(turbo.step, config=env_config, **rkw)
-        observe = functools.partial(turbo.observe_board, config=env_config)
+        init = functools.partial(turbo.init, config=env_config, **pkw)
+        step = functools.partial(turbo.step, config=env_config, **rkw, **pkw)
+        observe = functools.partial(turbo.observe_board, config=env_config, **pkw)
         return init, step, observe
     if impl != "flagship":
         raise ValueError(f"unknown engine impl: {impl!r}")
-    init = jax.vmap(functools.partial(engine.init_state, config=env_config))
+    init = jax.vmap(functools.partial(engine.init_state, config=env_config, **pkw))
     step = jax.vmap(
         functools.partial(
-            engine.step, config=env_config, obs_fn=lambda s, c, p: (), **rkw
+            engine.step, config=env_config, obs_fn=lambda s, c, p: (), **rkw, **pkw
         )
     )
     if obs == "rgb84":
-        render = jax.vmap(functools.partial(engine.render_rgb, config=env_config))
+        render = jax.vmap(
+            functools.partial(engine.render_rgb, config=env_config, **pkw)
+        )
 
         def observe(states):
             return image.preprocess_rgb84(render(states))
 
     else:
-        observe = jax.vmap(functools.partial(engine.observe_board, config=env_config))
+        observe = jax.vmap(
+            functools.partial(engine.observe_board, config=env_config, **pkw)
+        )
     return init, step, observe
