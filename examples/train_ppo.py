@@ -60,6 +60,19 @@ def main():
         "(stride-1 convs, no downsampling — placement precision)",
     )
     p.add_argument(
+        "--obs",
+        choices=("board", "rgb84"),
+        default="board",
+        help="observation: native board, or the reference PPO workload's "
+        "exact chain RGB->resize(84x84)->grayscale fused on device "
+        "(ref: train_ppo.py:92-110; forces flagship engine + Atari agent)",
+    )
+    p.add_argument(
+        "--frame-stack", type=int, default=1,
+        help="K: [B,K,H,W] motion window (reference FrameStack(4), "
+        "ref: train_ppo.py:110)",
+    )
+    p.add_argument(
         "--save-params", type=str, default=None,
         help="save final actor-critic params here (utils.checkpoint)",
     )
@@ -98,9 +111,17 @@ def main():
         update_epochs=args.update_epochs,
         n_minibatches=args.n_minibatches,
         total_iterations=args.iterations if args.anneal else 0,
+        frame_stack=args.frame_stack,
     )
     rewards = RewardsMapping(alife=args.alife, game_over=args.game_over_reward)
-    if args.net == "fullres":
+    if args.obs == "rgb84":
+        from tetris_gymnasium_tpu.models import AtariActorCritic
+
+        if args.impl != "flagship":
+            print("obs=rgb84 needs id boards; switching --impl to flagship")
+            args.impl = "flagship"
+        net = AtariActorCritic()
+    elif args.net == "fullres":
         net = ActorCriticCNN(strides=((1, 1), (1, 1), (1, 1)))
     else:
         net = ActorCriticCNN()
@@ -115,10 +136,13 @@ def main():
             ppo=ppo_cfg,
             net=net,
             impl=args.impl,
+            obs=args.obs,
         )
     )(jax.random.PRNGKey(args.seed))
     train_step = jax.jit(
-        ppo.make_train_step(env_config, ppo_cfg, net, impl=args.impl, rewards=rewards),
+        ppo.make_train_step(
+            env_config, ppo_cfg, net, impl=args.impl, rewards=rewards, obs=args.obs
+        ),
         donate_argnums=0,
     )
 
@@ -136,6 +160,8 @@ def main():
             key,
             impl=args.impl,
             max_steps=args.eval_max_steps,
+            frame_stack=args.frame_stack,
+            obs=args.obs,
         )
     )
 
@@ -169,7 +195,7 @@ def main():
             if log_f:
                 log_f.write(json.dumps(rec) + "\n")
                 log_f.flush()
-        if args.video_every and it % args.video_every == 0:
+        if args.video_every and it % args.video_every == 0 and args.obs != "rgb84":
             from tetris_gymnasium_tpu.utils import video
 
             base = os.path.splitext(args.log_json)[0] if args.log_json else "results/ppo"

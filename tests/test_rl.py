@@ -302,3 +302,28 @@ def test_rgb84_env_fns_guards():
         env_fns(EngineConfig(), "turbo", obs="rgb84")
     with pytest.raises(ValueError, match="observation kind"):
         env_fns(EngineConfig(), "flagship", obs="nope")
+
+
+def test_ppo_rgb84_frame_stack_train_step():
+    """obs='rgb84' + frame_stack=4: the reference PPO workload's exact input
+    pipeline (RGB->84x84->gray->FrameStack(4), ref train_ppo.py:92-110);
+    runs, stacks flow through the rollout, params update."""
+    from tetris_gymnasium_tpu.models import AtariActorCritic
+
+    env_config = EngineConfig(auto_reset=True)
+    cfg = ppo.PPOConfig(
+        rollout_len=4, update_epochs=1, n_minibatches=2, frame_stack=4
+    )
+    net = AtariActorCritic()
+    ts = ppo.init_train_state(
+        jax.random.PRNGKey(0), 4, env_config, cfg, net, obs="rgb84"
+    )
+    assert ts.last_obs.shape == (4, 4, 84, 84) and ts.last_obs.dtype == jnp.uint8
+    step = jax.jit(ppo.make_train_step(env_config, cfg, net, obs="rgb84"))
+    ts2, metrics = step(ts)
+    assert np.isfinite(float(metrics["pg_loss"]))
+    changed = jax.tree.map(
+        lambda a, b: not np.array_equal(np.asarray(a), np.asarray(b)),
+        ts.params, ts2.params,
+    )
+    assert any(jax.tree.leaves(changed))

@@ -1,6 +1,7 @@
 """Flax network families for the RL examples."""
 from tetris_gymnasium_tpu.models.networks import (
     ActorCriticCNN,
+    AtariActorCritic,
     AtariQNetwork,
     BoardEncoder,
     QGroupedBoardsCNN,
@@ -8,4 +9,4 @@ from tetris_gymnasium_tpu.models.networks import (
     QNetworkCNN,
 )
 
-__all__ = ["ActorCriticCNN", "AtariQNetwork", "BoardEncoder", "QGroupedBoardsCNN", "QMLP", "QNetworkCNN"]
+__all__ = ["ActorCriticCNN", "AtariActorCritic", "AtariQNetwork", "BoardEncoder", "QGroupedBoardsCNN", "QMLP", "QNetworkCNN"]

@@ -105,6 +105,44 @@ class AtariQNetwork(nn.Module):
         return nn.Dense(self.n_actions, dtype=jnp.float32)(x)
 
 
+class AtariActorCritic(nn.Module):
+    """The reference PPO workload's exact agent for 84x84 grayscale stacks.
+
+    Architecture parity with the reference's CleanRL Agent
+    (ref: examples/train_ppo.py:91-124): the Atari conv trunk (32@8x8/4 ->
+    64@4x4/2 -> 64@3x3/1 -> dense 512, inputs /255) shared by an
+    orthogonal-init policy head (gain 0.01) and value head (gain 1).
+    Input ``[B, K, 84, 84]`` or ``[B, 84, 84]`` uint8.
+    """
+
+    n_actions: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, frames: jnp.ndarray):
+        if frames.ndim == 4:
+            x = jnp.moveaxis(frames.astype(self.dtype), 1, -1)
+        else:
+            x = frames.astype(self.dtype)[..., None]
+        x = x / jnp.asarray(255.0, self.dtype)
+        for feat, k, s in ((32, 8, 4), (64, 4, 2), (64, 3, 1)):
+            x = nn.Conv(
+                feat, kernel_size=(k, k), strides=(s, s), padding="VALID",
+                dtype=self.dtype,
+            )(x)
+            x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))
+        h = nn.relu(nn.Dense(512, dtype=self.dtype)(x))
+        logits = nn.Dense(
+            self.n_actions, dtype=jnp.float32,
+            kernel_init=nn.initializers.orthogonal(0.01),
+        )(h)
+        value = nn.Dense(
+            1, dtype=jnp.float32, kernel_init=nn.initializers.orthogonal(1.0)
+        )(h)
+        return logits, value.squeeze(-1)
+
+
 class ActorCriticCNN(nn.Module):
     """PPO actor-critic with a shared conv trunk.
 

@@ -27,6 +27,7 @@ from flax import struct
 from tetris_gymnasium_tpu.config import EngineConfig
 from tetris_gymnasium_tpu.core import engine
 from tetris_gymnasium_tpu.models.networks import ActorCriticCNN
+from tetris_gymnasium_tpu.ops import framestack
 from tetris_gymnasium_tpu.rl.engines import env_fns as _env_fns
 
 
@@ -62,6 +63,12 @@ class PPOConfig(NamedTuple):
     # long runs keep improving.
     total_iterations: int = 0
     ent_coef_final: float = 0.0
+    # K: the policy consumes a [B, K, H, W] motion window (the reference PPO
+    # workload's FrameStack(4), ref: train_ppo.py:108-110).  Unlike DQN's
+    # replay (single frames, stacks rebuilt at sample time), the PPO rollout
+    # stores the stacked window per transition — the rollout is consumed
+    # once and discarded, so the K-fold memory is transient.
+    frame_stack: int = 1
 
 
 @struct.dataclass
@@ -113,20 +120,27 @@ def init_train_state(
     key: jnp.ndarray, n_envs: int, env_config: EngineConfig, ppo: PPOConfig,
     net: ActorCriticCNN = ActorCriticCNN(),
     impl: str = "flagship",
+    obs: str = "board",
 ) -> TrainState:
-    """Initialise params, optimizer and a fresh sharded-ready env batch."""
-    env_init, _, env_observe = _env_fns(env_config, impl)
+    """Initialise params, optimizer and a fresh sharded-ready env batch.
+
+    ``obs="rgb84"`` trains on the reference workload's exact preprocessing
+    chain (see rl/engines.py); with ``ppo.frame_stack > 1`` the carried
+    ``last_obs`` is the ``[B, K, ...]`` motion window.
+    """
+    env_init, _, env_observe = _env_fns(env_config, impl, obs=obs)
     key, net_key, env_key = jax.random.split(key, 3)
     env_keys = jax.vmap(lambda i: jax.random.fold_in(env_key, i))(
         jnp.arange(n_envs, dtype=jnp.uint32)
     )
     env_states = env_init(env_keys)
-    obs = env_observe(env_states)
-    params = net.init(net_key, obs[:1])
+    raw = env_observe(env_states)
+    obs_0 = raw if ppo.frame_stack == 1 else framestack.init(raw, ppo.frame_stack)
+    params = net.init(net_key, obs_0[:1])
     opt_state = make_optimizer(ppo).init(params)
     return TrainState(
         params=params, opt_state=opt_state, env_states=env_states,
-        last_obs=obs, key=key, update_i=jnp.int32(0),
+        last_obs=obs_0, key=key, update_i=jnp.int32(0),
     )
 
 
@@ -150,6 +164,7 @@ def make_train_step(
     env_config: EngineConfig, ppo: PPOConfig, net: ActorCriticCNN,
     impl: str = "flagship",
     rewards=None,
+    obs: str = "board",
 ):
     """Build the jittable PPO iteration: rollout T steps, then update.
 
@@ -161,18 +176,20 @@ def make_train_step(
     optional :class:`RewardsMapping` override (the reference's
     ``rewards_mapping`` kwarg).
     """
-    _, env_step, observe = _env_fns(env_config, impl, rewards)
+    _, env_step, observe = _env_fns(env_config, impl, rewards, obs=obs)
+    K = ppo.frame_stack
 
     def policy_step(carry, _):
-        env_states, obs, params, key = carry
+        env_states, window, params, key = carry
         key, act_key = jax.random.split(key)
-        logits, value = net.apply(params, obs)
+        logits, value = net.apply(params, window)
         action = jax.random.categorical(act_key, logits).astype(jnp.int32)
         log_prob = jax.nn.log_softmax(logits)[jnp.arange(logits.shape[0]), action]
         env_states, _, reward, done, _ = env_step(env_states, action)
-        new_obs = observe(env_states)
-        t = Transition(obs, action, log_prob, value, reward, done)
-        return (env_states, new_obs, params, key), t
+        raw = observe(env_states)
+        new_window = raw if K == 1 else framestack.push(window, raw, done)
+        t = Transition(window, action, log_prob, value, reward, done)
+        return (env_states, new_window, params, key), t
 
     def loss_fn(params, batch, advantages, targets, ent_coef):
         logits, value = net.apply(params, batch.obs)
