@@ -27,6 +27,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n-envs", type=int, default=2048)
     p.add_argument("--iterations", type=int, default=100)
+    p.add_argument(
+        "--chunk", type=int, default=1,
+        help="iterations per device call (lax.scan): >1 removes the "
+        "per-iteration host sync from the hot loop (~2.5x on a "
+        "tunnel-attached chip); logging granularity becomes the chunk",
+    )
     p.add_argument("--rollout-len", type=int, default=128)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--ent-coef", type=float, default=0.01)
@@ -139,12 +145,23 @@ def main():
             obs=args.obs,
         )
     )(jax.random.PRNGKey(args.seed))
-    train_step = jax.jit(
-        ppo.make_train_step(
-            env_config, ppo_cfg, net, impl=args.impl, rewards=rewards, obs=args.obs
-        ),
-        donate_argnums=0,
+    one_step = ppo.make_train_step(
+        env_config, ppo_cfg, net, impl=args.impl, rewards=rewards, obs=args.obs
     )
+
+    def chunk_step(ts):
+        if args.chunk == 1:
+            return one_step(ts)
+        ts, ms = jax.lax.scan(
+            lambda c, _: one_step(c), ts, None, length=args.chunk
+        )
+        # last iteration's losses, chunk-mean reward/episodes
+        m = jax.tree.map(lambda x: x[-1], ms)
+        m["mean_reward"] = ms["mean_reward"].mean()
+        m["episodes_done"] = ms["episodes_done"].sum()
+        return ts, m
+
+    train_step = jax.jit(chunk_step, donate_argnums=0)
 
     log_f = None
     if args.log_json:
@@ -167,17 +184,20 @@ def main():
 
     steps_per_iter = args.n_envs * ppo_cfg.rollout_len
     t0 = time.perf_counter()
-    for it in range(1, args.iterations + 1):
+    n_calls = max(args.iterations // args.chunk, 1)
+    for ci in range(1, n_calls + 1):
         ts, metrics = train_step(ts)
-        if it % 5 == 0 or it == 1:
+        it = ci * args.chunk
+        if args.chunk > 1 or it % 5 == 0 or it == 1:
             m = jax.device_get(metrics)
             episodes = max(float(m["episodes_done"]), 1.0)
+            window = steps_per_iter * args.chunk
             rec = {
                 "iteration": it,
                 "env_steps": steps_per_iter * it,
                 "sps": round(steps_per_iter * it / (time.perf_counter() - t0)),
                 "reward_per_step": round(float(m["mean_reward"]), 4),
-                "steps_per_episode": round(steps_per_iter / episodes, 2),
+                "steps_per_episode": round(window / episodes, 2),
                 "pg_loss": round(float(m["pg_loss"]), 5),
                 "v_loss": round(float(m["v_loss"]), 5),
                 "entropy": round(float(m["entropy"]), 4),
