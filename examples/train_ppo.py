@@ -83,6 +83,11 @@ def main():
         help="save final actor-critic params here (utils.checkpoint)",
     )
     p.add_argument(
+        "--init-params", type=str, default=None,
+        help="warm-start from a saved checkpoint (fresh optimizer/envs): "
+        "fine-tune or extend a previous run",
+    )
+    p.add_argument(
         "--impl",
         choices=("flagship", "turbo"),
         default="turbo",
@@ -145,6 +150,12 @@ def main():
             obs=args.obs,
         )
     )(jax.random.PRNGKey(args.seed))
+    if args.init_params:
+        from tetris_gymnasium_tpu.utils import checkpoint
+
+        restored = checkpoint.restore(args.init_params, jax.device_get(ts.params))
+        ts = ts.replace(params=jax.device_put(restored))
+        print(f"warm-started params from {args.init_params}", flush=True)
     one_step = ppo.make_train_step(
         env_config, ppo_cfg, net, impl=args.impl, rewards=rewards, obs=args.obs
     )
