@@ -225,3 +225,19 @@ def test_grouped_dqn_boards_mode_learns_live():
         ts, lines = chunk(ts)
         totals.append(float(lines))
     assert sum(totals[-3:]) > 3 * max(sum(totals[:3]), 1.0), totals
+
+
+def test_ppo_lines_centerpiece_at_least_10_lines():
+    """The round-5 centerpiece: a long annealed PPO run on the standard
+    10x20 gravity-on board whose FINAL greedy eval clears >= 10
+    lines/episode (round-4 review next #2; reference workload being beaten:
+    examples/train_cnn.py, 20M steps, no published result)."""
+    recs = [r for r in _load("ppo_lines.jsonl") if "eval_lines" in r]
+    assert len(recs) >= 4, "centerpiece curve must carry eval checkpoints"
+    final = recs[-1]
+    assert final["eval_lines"] >= 10.0, (
+        f"final greedy eval {final['eval_lines']} lines/episode < 10"
+    )
+    assert final["eval_episodes"] >= 256  # a real population, not a fluke
+    # the curve must show learning, not a lucky endpoint
+    assert recs[-1]["eval_lines"] > 3 * recs[0]["eval_lines"]
