@@ -27,18 +27,23 @@ def main():
         "--impl", choices=("flagship", "turbo"), default="turbo",
         help="rollout engine (board observations are value-equal on both)",
     )
+    p.add_argument(
+        "--net", choices=("qnet", "actor-critic"), default="qnet",
+        help="checkpoint family: DQN Q-net or PPO actor-critic (greedy = "
+        "argmax over policy logits)",
+    )
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from tetris_gymnasium_tpu.config import EngineConfig
-    from tetris_gymnasium_tpu.models import QNetworkCNN
+    from tetris_gymnasium_tpu.models import ActorCriticCNN, QNetworkCNN
     from tetris_gymnasium_tpu.rl import evaluate
     from tetris_gymnasium_tpu.utils import checkpoint
 
     config = EngineConfig(width=args.width, height=args.height)
-    net = QNetworkCNN()
+    net = ActorCriticCNN() if args.net == "actor-critic" else QNetworkCNN()
     obs_shape = (
         (1, args.frame_stack, args.height, args.width)
         if args.frame_stack > 1
@@ -47,11 +52,21 @@ def main():
     example = net.init(jax.random.PRNGKey(0), jnp.zeros(obs_shape, jnp.int8))
     params = checkpoint.restore(args.checkpoint, example)
 
-    stats = evaluate.evaluate_q_checkpoint(
-        net, params, args.episodes, config,
-        seed=args.seed, impl=args.impl,
-        max_steps=args.max_steps, frame_stack=args.frame_stack,
-    )
+    if args.net == "actor-critic":
+        out = jax.jit(
+            lambda p, key: evaluate.evaluate_policy(
+                evaluate.greedy_logits(net, p), args.episodes, config, key,
+                impl=args.impl, max_steps=args.max_steps,
+                frame_stack=args.frame_stack,
+            )
+        )(params, jax.random.PRNGKey(args.seed))
+        stats = {k: float(v) for k, v in jax.device_get(out).items()}
+    else:
+        stats = evaluate.evaluate_q_checkpoint(
+            net, params, args.episodes, config,
+            seed=args.seed, impl=args.impl,
+            max_steps=args.max_steps, frame_stack=args.frame_stack,
+        )
     print(json.dumps({k: round(v, 4) for k, v in stats.items()}))
 
 
