@@ -18,7 +18,11 @@ def main():
     p.add_argument("--max-steps", type=int, default=300)
     p.add_argument("--fps", type=int, default=8)
     p.add_argument("--upscale", type=int, default=10)
-    p.add_argument("--checkpoint", default=None, help="DQN params (utils.checkpoint)")
+    p.add_argument("--checkpoint", default=None, help="params (utils.checkpoint)")
+    p.add_argument(
+        "--net", choices=("qnet", "actor-critic"), default="qnet",
+        help="checkpoint family: DQN Q-net or PPO actor-critic",
+    )
     p.add_argument(
         "--frame-stack", type=int, default=1,
         help="K the checkpoint trained with (--frame-stack K in train_cnn); "
@@ -35,10 +39,10 @@ def main():
 
     policy = None
     if args.checkpoint:
-        from tetris_gymnasium_tpu.models import QNetworkCNN
+        from tetris_gymnasium_tpu.models import ActorCriticCNN, QNetworkCNN
         from tetris_gymnasium_tpu.utils import checkpoint
 
-        net = QNetworkCNN()
+        net = ActorCriticCNN() if args.net == "actor-critic" else QNetworkCNN()
         k = args.frame_stack
         obs_shape = (1, 20, 10) if k <= 1 else (1, k, 20, 10)
         example = net.init(jax.random.PRNGKey(0), jnp.zeros(obs_shape, jnp.int8))
