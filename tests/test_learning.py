@@ -242,3 +242,16 @@ def test_ppo_lines_centerpiece_at_least_10_lines():
     # the curve must show learning, not a lucky endpoint (first eval lands
     # a few hundred iterations in, already off the random floor)
     assert recs[-1]["eval_lines"] > 2 * recs[0]["eval_lines"]
+
+
+def test_dqn_rgb84_curve_learns():
+    """DQN trained on the reference's EXACT preprocessing chain
+    (RGB->84x84 resize->grayscale->FrameStack(4), fused on device —
+    examples/train_cnn.py --obs rgb84): reward/step climbs and the greedy
+    eval return improves across checkpoints."""
+    recs = _load("dqn_rgb84.jsonl")
+    assert len(recs) >= 10
+    assert recs[-1]["reward_per_step"] > 1.5 * recs[0]["reward_per_step"]
+    evs = [r for r in recs if "eval_return" in r]
+    assert len(evs) >= 2
+    assert evs[-1]["eval_return"] > 1.5 * evs[0]["eval_return"]
