@@ -57,9 +57,9 @@ def test_resize_rejects_shrink():
 
 
 def test_grayscale_matches_gymnasium_formula():
-    """gymnasium computes sum(rgb*w) in float64 then casts; the kernel agrees
-    bit-for-bit on random batches (the only known deviations are the 164
-    intermediate-double-rounding triples, 10 ppm — see ops/image.py)."""
+    """gymnasium computes sum(rgb*w) in float64 then casts; the pipeline
+    kernel agrees within 1 (46 ppm of triples differ — see ops/image.py),
+    the exact kernel bit-for-bit on random batches."""
     rng = np.random.default_rng(3)
     rgb = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
     rgb[0, 0] = (255, 255, 255)
@@ -67,25 +67,33 @@ def test_grayscale_matches_gymnasium_formula():
     want = np.sum(
         np.multiply(rgb, np.array([0.2125, 0.7154, 0.0721])), axis=-1
     ).astype(np.uint8)
-    got = np.asarray(jax.jit(image.grayscale_u8)(jnp.asarray(rgb)))
-    assert np.array_equal(got, want)
+    fast = np.asarray(jax.jit(image.grayscale_u8)(jnp.asarray(rgb)))
+    assert np.abs(fast.astype(int) - want.astype(int)).max() <= 1
+    exact = np.asarray(jax.jit(image.grayscale_u8_exact)(jnp.asarray(rgb)))
+    assert np.array_equal(exact, want)
 
 
 def test_grayscale_exhaustive_r_slice():
-    """All (g, b) pairs at several r values — 262k triples: at most 1 off,
-    and only on the documented double-rounding knife edges (<= a handful)."""
+    """All (g, b) pairs at several r values — 262k triples.  The fast kernel
+    stays within 1 at its measured ~46 ppm rate; the exact kernel deviates
+    only on the double-rounding knife edges (a handful)."""
     g, b = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
-    total_off = 0
+    off_fast = off_exact = 0
     for r in (0, 17, 128, 255):
         rgb = np.stack([np.full_like(g, r), g, b], axis=-1).astype(np.uint8)
         want = np.sum(
             np.multiply(rgb, np.array([0.2125, 0.7154, 0.0721])), axis=-1
         ).astype(np.uint8)
-        got = np.asarray(image.grayscale_u8(jnp.asarray(rgb)))
-        diff = np.abs(got.astype(int) - want.astype(int))
-        assert diff.max() <= 1, f"r={r}"
-        total_off += int((diff > 0).sum())
-    assert total_off <= 8, f"{total_off} deviations — more than double-rounding explains"
+        for fn, acc in ((image.grayscale_u8, "fast"), (image.grayscale_u8_exact, "exact")):
+            got = np.asarray(fn(jnp.asarray(rgb)))
+            diff = np.abs(got.astype(int) - want.astype(int))
+            assert diff.max() <= 1, f"r={r} {acc}"
+            if acc == "fast":
+                off_fast += int((diff > 0).sum())
+            else:
+                off_exact += int((diff > 0).sum())
+    assert off_exact <= 8, f"exact kernel: {off_exact} deviations"
+    assert off_fast <= 40, f"fast kernel: {off_fast} deviations (expect ~46 ppm)"
 
 
 def test_full_chain_vs_host_wrappers():

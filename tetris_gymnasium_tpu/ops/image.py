@@ -19,14 +19,15 @@ the same chain fused on device over the whole env batch:
 
 * :func:`grayscale_u8` reproduces gymnasium's ``GrayscaleObservation``
   (``sum(rgb * [0.2125, 0.7154, 0.0721])`` in float64, truncation-cast to
-  uint8).  float64 is unavailable on device (x64 disabled); the kernel sums
-  host-precomputed scaled-integer weight tables (25-bit limbs, int32 adds),
-  which computes the EXACT real-arithmetic sum.  Exhaustively over all 16.7M
-  RGB triples this differs from numpy's value on 164 triples (10 ppm, by 1),
-  exactly where numpy's own sequential double addition rounds an
-  intermediate up onto an integer boundary — the kernel's value is the more
-  accurate one there.  (A float32 kernel would deviate on 341 triples and
-  vary by platform; the integer path is deterministic.)
+  uint8).  float64 is unavailable on device (x64 disabled).  Two kernels:
+  the pipeline default uses 22-bit fixed-point weights (three VPU
+  multiply-adds; 780 of the 16.7M RGB triples differ from numpy by 1 —
+  46 ppm, exhaustively measured), and :func:`grayscale_u8_exact` evaluates
+  the exact real-arithmetic sum via 25-bit limb tables (164 triples / 10 ppm
+  off — only where numpy's own sequential double addition rounds an
+  intermediate onto an integer boundary — but gather-bound on TPU).  Both
+  are deterministic; a float32 kernel would deviate on 341 triples AND vary
+  by platform.
 
 Both are weight-table contractions with static shapes: resize lowers to two
 small integer matmuls, grayscale to a one-hot palette contraction — the
@@ -140,25 +141,55 @@ def _gray_tables():
     )
 
 
+# 22-bit fixed-point weights: the largest scale where r*W0+g*W1+b*W2 stays
+# within int32 (sum of weights is exactly 2^22, max acc = 255*2^22 < 2^30)
+_W22 = tuple(int(round(w * (1 << 22))) for w in _GRAY_WEIGHTS)
+
+
 def grayscale_u8(rgb: jnp.ndarray) -> jnp.ndarray:
-    """gymnasium ``GrayscaleObservation`` on device (10 ppm, see module doc).
+    """gymnasium ``GrayscaleObservation`` on device — the pipeline kernel.
+
+    ``trunc((r*W0 + g*W1 + b*W2) >> 22)`` with 22-bit integer weights:
+    three multiply-adds per pixel, pure VPU arithmetic.  Exhaustively over
+    all 16.7M RGB triples this differs from numpy's float64 value on 780
+    triples (46 ppm), by exactly 1 — within the chain's documented ±1
+    envelope (the resize bound).  Chosen over the exact kernel below after
+    measuring on hardware (tools/profile_rgb.py): a per-pixel 256-entry
+    gather ran at 76k frames/s at B=4096 (gathers serialize on TPU), a
+    ``[..., 3, 256]`` one-hot contraction materialized 165 GB at B=8192,
+    and any int32 temp with the 3-wide channel axis minor gets lane-padded
+    3→128 by TPU tiling (a 30 GB copy).
 
     Args:
         rgb: ``[..., 3]`` uint8.
 
     Returns:
-        ``[...]`` uint8 — ``trunc(sum(rgb * [0.2125, 0.7154, 0.0721]))``
-        with the sum computed exactly (int32 limb arithmetic over scaled
-        double products); differs from numpy's sequentially-rounded float64
-        sum on 164 of 16.7M triples, by 1.
+        ``[...]`` uint8.
+    """
+    acc = None
+    for c in range(3):
+        t = rgb[..., c].astype(jnp.int32) * jnp.int32(_W22[c])
+        acc = t if acc is None else acc + t
+    return (acc >> 22).astype(jnp.uint8)
+
+
+def grayscale_u8_exact(rgb: jnp.ndarray) -> jnp.ndarray:
+    """The exact-real-sum grayscale (10 ppm vs numpy float64, module doc).
+
+    Evaluates the scaled double products via 25-bit limb tables — one
+    256-entry gather per channel.  Bit-deterministic and the closest
+    integer evaluation of gymnasium's formula, but gather-bound on TPU
+    (~76k frames/s at B=4096): use for verification and host-scale work,
+    not the training pipeline.
     """
     hi_t, lo_t = _gray_tables()
-    hi_t, lo_t = jnp.asarray(hi_t), jnp.asarray(lo_t)
-    x = rgb.astype(jnp.int32)  # [..., 3]
-    # one-hot contraction per channel: [..., 3, 256] x [3, 256] -> [...]
-    oh = (x[..., None] == jnp.arange(256, dtype=jnp.int32)).astype(jnp.int32)
-    hi = jnp.einsum("...cv,cv->...", oh, hi_t)
-    lo = jnp.einsum("...cv,cv->...", oh, lo_t)
+    hi = lo = None
+    for c in range(3):
+        idx = rgb[..., c].astype(jnp.int32)
+        h = jnp.take(jnp.asarray(hi_t[c]), idx, axis=0)
+        l = jnp.take(jnp.asarray(lo_t[c]), idx, axis=0)
+        hi = h if hi is None else hi + h
+        lo = l if lo is None else lo + l
     total_hi = hi + (lo >> _LIMB_BITS)
     return (total_hi >> (_FRAC_BITS - _LIMB_BITS)).astype(jnp.uint8)
 
