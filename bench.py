@@ -425,10 +425,27 @@ def main():
                 traceback.print_exc()
                 extras[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
         print(_result_line(steps_per_sec, extras), flush=True)
-    _write_local_archive(steps_per_sec, extras)
+    # Only a COMPLETE standard-scale run may become the published numbers:
+    # a BENCH_FULL=0 / reduced-BENCH_ENVS / failed-extras run must not
+    # silently supersede the driver archive.
+    official = (
+        full
+        and n_envs == 65536
+        and horizon == 256
+        and not any(k.endswith("_error") for k in extras)
+    )
+    if official:
+        _write_local_archive(steps_per_sec, extras, n_envs, horizon)
+    else:
+        print(
+            "# non-standard or partial run: BENCH_local.json not written",
+            flush=True,
+        )
 
 
-def _write_local_archive(steps_per_sec: float, extras: dict) -> None:
+def _write_local_archive(
+    steps_per_sec: float, extras: dict, n_envs: int, horizon: int
+) -> None:
     """Drop ``BENCH_local.json`` next to the driver archives.
 
     The driver archives ``BENCH_r<N>.json`` only *after* the round's last
@@ -449,6 +466,7 @@ def _write_local_archive(steps_per_sec: float, extras: dict) -> None:
     ]
     payload = {
         "supersedes": max(rounds, default=0),
+        "config": {"n_envs": n_envs, "horizon": horizon, "full": True},
         "parsed": json.loads(_result_line(steps_per_sec, extras)),
     }
     with open(os.path.join(root, "BENCH_local.json"), "w") as f:

@@ -112,6 +112,19 @@ def main():
     p.add_argument("--log-json", type=str, default=None, help="append JSONL here")
     args = p.parse_args()
 
+    if args.chunk > 1:
+        # silent desync traps: a non-divisible chunk changes how many
+        # iterations actually run (breaking the --anneal schedules), and a
+        # non-multiple eval/video cadence would simply never fire
+        if args.iterations % args.chunk:
+            p.error(f"--iterations {args.iterations} must be a multiple of "
+                    f"--chunk {args.chunk}")
+        for name in ("eval_every", "video_every"):
+            v = getattr(args, name)
+            if v and v % args.chunk:
+                p.error(f"--{name.replace('_', '-')} {v} must be a multiple "
+                        f"of --chunk {args.chunk}")
+
     env_config = EngineConfig(auto_reset=True)
     ppo_cfg = ppo.PPOConfig(
         rollout_len=args.rollout_len,

@@ -236,6 +236,24 @@ def project_active(state: EngineState, config: EngineConfig, pieces: PieceSet = 
     return jnp.where(hit, state.board, stamped)
 
 
+def queue_holder_strips(state: EngineState, pieces: PieceSet = PIECES):
+    """(queue_strip, holder_strip) thumbnail images for the Dict obs.
+
+    ``[padding, padding*size]`` id images; empty holder slots render as
+    bedrock-1s, as the reference renders an empty holder
+    (ref: envs/tetris.py:566-615).  Shared by :func:`observe_dict` and the
+    grouped env's per-candidate RGB mode (core/grouped.py) so the strip
+    semantics cannot diverge.
+    """
+    slot = jnp.arange(state.queue.shape[0])
+    queue_strip = _strip(state.queue, jnp.zeros_like(state.queue), slot >= 0, pieces)
+    hslot = jnp.arange(state.holder_piece.shape[0])
+    holder_strip = _strip(
+        state.holder_piece, state.holder_rotation, hslot < state.holder_count, pieces
+    )
+    return queue_strip, holder_strip
+
+
 def observe_dict(state: EngineState, config: EngineConfig, pieces: PieceSet = PIECES) -> dict:
     """OOP-style Dict observation (ref: envs/tetris.py:566-615).
 
@@ -244,12 +262,7 @@ def observe_dict(state: EngineState, config: EngineConfig, pieces: PieceSet = PI
     are ``[padding, padding*size]`` thumbnail strips (empty holder slots
     render as bedrock-1s, as the reference renders an empty holder).
     """
-    slot = jnp.arange(state.queue.shape[0])
-    queue_strip = _strip(state.queue, jnp.zeros_like(state.queue), slot >= 0, pieces)
-    hslot = jnp.arange(state.holder_piece.shape[0])
-    holder_strip = _strip(
-        state.holder_piece, state.holder_rotation, hslot < state.holder_count, pieces
-    )
+    queue_strip, holder_strip = queue_holder_strips(state, pieces)
     return {
         "board": project_active(state, config, pieces).astype(jnp.uint8),
         "active_tetromino_mask": active_mask(state, config, pieces),

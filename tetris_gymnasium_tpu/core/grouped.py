@@ -140,15 +140,7 @@ def grouped_observation(
         feats = jax.vmap(lambda b: feature_vector(b, feature_flags))(crop)
         return feats.astype(jnp.float32), mask
     if mode == "rgb":
-        slot = jnp.arange(state.queue.shape[0])
-        queue_strip = engine._strip(
-            state.queue, jnp.zeros_like(state.queue), slot >= 0, pieces
-        )
-        hslot = jnp.arange(state.holder_piece.shape[0])
-        holder_strip = engine._strip(
-            state.holder_piece, state.holder_rotation,
-            hslot < state.holder_count, pieces,
-        )
+        queue_strip, holder_strip = engine.queue_holder_strips(state, pieces)
         rgb = jax.vmap(
             lambda b: compose_rgb(
                 b.astype(jnp.uint8), queue_strip, holder_strip, pieces

@@ -52,7 +52,11 @@ def _programs(config: EngineConfig, impl: str, num_envs: int, pieces=None):
     """
     ck = (
         config, impl, num_envs,
-        None if pieces is None else (pieces.matrices.tobytes(), pieces.box.tobytes()),
+        # every PieceSet field: sets with identical shapes but different
+        # cell ids/colors must NOT share a closed-over program
+        None if pieces is None else tuple(
+            np.asarray(f).tobytes() for f in pieces
+        ),
     )
     hit = _PROGRAMS_CACHE.get(ck)
     if hit is not None:

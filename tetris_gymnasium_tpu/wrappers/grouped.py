@@ -90,7 +90,14 @@ class GroupedActionsObservations(gym.Wrapper, gym.utils.RecordConstructorArgs):
             inner = (cfg.padded_height, cfg.padded_width + side, 3)
             high, obs_dtype = 255.0, np.uint8
         elif mode == "host":
-            inner = tuple(self.observation_wrappers[-1].observation_space.shape)
+            # the chain's LAST wrapper defines the per-candidate space —
+            # including its bounds and dtype, so e.g. an RGB-emitting chain
+            # declares 0..255 uint8 and the illegal sentinel (space.high)
+            # stays out of band of ordinary id boards
+            last_space = self.observation_wrappers[-1].observation_space
+            inner = tuple(last_space.shape)
+            high = float(np.max(last_space.high))
+            obs_dtype = last_space.dtype
         else:
             inner = (cfg.padded_height, cfg.padded_width)
         self.observation_space = spaces.Box(
